@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{KgQueries, RelationalQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator-family demos (SURVEY §2) to DataFrames over
+  * the driver's parquet tables at `sfDir`; `oracleSql` holds the ANSI
+  * SQL DuckDB equivalent for every SQL-expressible entry. KG-pipeline
+  * entries run on the deterministic synthesized source-code corpus
+  * (FIXTURES.md) and are covered by ScalaTest parity suites instead of
+  * SQL oracles.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY §3.2): full KG pipeline on a tiny corpus —
+    * extract -> link -> canonicalize -> triples. Driver smoke-checks
+    * rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.run(spark, nFiles = 150).triples
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.all ++ KgQueries.all
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles
 }

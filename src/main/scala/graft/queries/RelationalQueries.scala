@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Operator-family demos (SURVEY §2) over the driver's parquet tables,
+  * each with a DuckDB oracle. Implementation is DataFrame-API
+  * (Catalyst-planned), NOT spark.sql — the oracle strings are the only
+  * SQL here.
+  *
+  * Determinism discipline (the driver hash-compares values):
+  *  - money sums are done in integer cents/ten-thousandths (exact),
+  *    never float accumulation;
+  *  - every float output is a single division / closed expression over
+  *    identical integer operands (bit-identical across engines);
+  *  - every query has a total deterministic ORDER BY.
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------
+  // A1-family: aggregation with exact integer accumulation
+  // ---------------------------------------------------------------
+  private val q1Agg: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        // revenue in 1e-4 units: exact integer sum
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("revenue_e4"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // J1-family: equi-join + agg (gold side broadcastable)
+  private val evalJoin: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val o = t(s, d, "orders")
+    li.join(broadcast(o.select(col("o_orderkey"), col("o_orderpriority"))),
+      col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // W1-family: per-group top-k via window (ref span_att_v2.py:247-274)
+  private val topkWindow: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  // J5-family: nearest strictly-enclosing interval (containment join +
+  // min-by; ref data_util.py:437-466)
+  private def orderSpans(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_custkey").as("grp"),
+      (col("o_orderkey") % 97).as("s"),
+      (col("o_orderkey") % 97 + 1 + col("o_orderkey") % 13).as("e"))
+
+  private val containmentJoin: Q = (sp, d) => {
+    val spans = orderSpans(sp, d)
+    val a = spans.as("a"); val b = spans.as("b")
+    val joined = a.join(b,
+      col("a.grp") === col("b.grp") &&
+        col("b.s") <= col("a.s") && col("a.e") <= col("b.e") &&
+        (col("b.s") < col("a.s") || col("a.e") < col("b.e")))
+    val w = Window.partitionBy(col("a.id"))
+      .orderBy(col("b.e") - col("b.s"), col("b.s"), col("b.id"))
+    val enc = joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a.id").as("id"), col("b.id").as("enc_id"))
+    spans.select(col("id")).join(enc, Seq("id"), "left")
+      .select(col("id"), col("enc_id"))
+      .orderBy(col("id"))
+  }
+
+  // J6/F4-family: interval IoU as pure column arithmetic
+  // (ref span_utils.py:43-48)
+  private val iouPairs: Q = (sp, d) => {
+    val spans = orderSpans(sp, d)
+    val a = spans.as("a"); val b = spans.as("b")
+    val inter = lit(1) + least(col("a.e"), col("b.e")) -
+      greatest(col("a.s"), col("b.s"))
+    val uni = lit(1) + greatest(col("a.e"), col("b.e")) -
+      least(col("a.s"), col("b.s"))
+    a.join(b, col("a.grp") === col("b.grp") && col("a.id") < col("b.id"))
+      .withColumn("iou",
+        when(inter > 0, inter.cast("double") / uni.cast("double"))
+          .otherwise(lit(0.0)))
+      .filter(col("iou") > 0.5)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("iou"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // A2-family: class histogram + computed negative count
+  // (ref data_util.py:616-646: negatives = n(n+1)/2 - #entities)
+  private val histogram: Q = (s, d) => {
+    t(s, d, "part").groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_size").cast("long")).as("sum_size"))
+      .withColumn("neg_spans", col("n") * (col("n") + 1) / 2 - col("n"))
+      .orderBy(col("p_type"))
+  }
+
+  // SET1-family: exact dedup (deterministic: distinct projection)
+  private val dedupExact: Q = (s, d) =>
+    t(s, d, "events").select(col("user_id"), col("event_type"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"))
+
+  // A3-family: vocab build — explode -> distinct -> sort -> dense id
+  // (ref word_embed.py:46-66)
+  private val vocabBuild: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+    words.withColumn("id",
+      row_number().over(Window.orderBy(col("word"))) - 1)
+      .orderBy(col("word"))
+  }
+
+  // J7-family: ordered sibling context via lag/lead
+  // (ref align_input.py:97-110 doc-context concatenation)
+  private val docContext: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .drop("ts")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // F5-family: BIES token labeling from spans (ref data_util.py:391-435)
+  private val biesLabels: Q = (sp, d) => {
+    val spans = orderSpans(sp, d).filter(col("id") % 100 === 0)
+    spans.select(col("id"), col("s"), col("e"),
+      explode(sequence(col("s"), col("e"))).as("pos"))
+      .withColumn("label",
+        when(col("s") === col("e"), lit("S"))
+          .when(col("pos") === col("s"), lit("B"))
+          .when(col("pos") === col("e"), lit("E"))
+          .otherwise(lit("I")))
+      .select(col("id"), col("pos"), col("label"))
+      .orderBy(col("id"), col("pos"))
+  }
+
+  // F7-family: mention format string (ref evaluation.py:26)
+  private val mentionFormat: Q = (sp, d) => {
+    val spans = orderSpans(sp, d).filter(col("id") % 50 === 0)
+    spans.select(col("id"),
+      format_string("%d,%d grp%d", col("s"), col("e") + 1, col("grp"))
+        .as("mention"))
+      .orderBy(col("id"))
+  }
+
+  // F6-family: span enumeration via explode(sequence) x2 — the
+  // UDTF/Generator analog (ref data_util.py:326-333). Verifies
+  // count == n(n+1)/2 per doc.
+  private val spanEnum: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        least(size(split(col("text"), " ")), lit(12)).as("n"))
+    docs.select(col("doc_id"), col("n"),
+      explode(sequence(lit(0), col("n") - 1)).as("i"))
+      .select(col("doc_id"), col("n"), col("i"),
+        explode(sequence(col("i"), col("n") - 1)).as("j"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  // A1+J1: strict P/R/F1 computed relationally (ref evaluation.py:69-103)
+  private val prfAgg: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val pred = li.filter(col("l_quantity") > 25)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val gold = li.filter(col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val correct = pred.join(gold, Seq("l_orderkey", "l_partkey")).count()
+    val np = pred.count(); val ng = gold.count()
+    import s.implicits._
+    val p = if (np == 0) 0.0 else correct.toDouble / np
+    val r = if (ng == 0) 0.0 else correct.toDouble / ng
+    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    Seq((correct, np, ng, p, r, f1))
+      .toDF("correct", "npred", "ngold", "p", "r", "f1")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "eval_join" -> evalJoin,
+    "topk_window" -> topkWindow,
+    "containment_join" -> containmentJoin,
+    "iou_pairs" -> iouPairs,
+    "histogram" -> histogram,
+    "dedup_exact" -> dedupExact,
+    "vocab_build" -> vocabBuild,
+    "doc_context" -> docContext,
+    "bies_labels" -> biesLabels,
+    "mention_format" -> mentionFormat,
+    "span_enum" -> spanEnum,
+    "prf_agg" -> prfAgg)
+
+  private val spansCte =
+    """WITH spans AS (
+      |  SELECT o_orderkey AS id, o_custkey AS grp,
+      |         o_orderkey % 97 AS s,
+      |         o_orderkey % 97 + 1 + o_orderkey % 13 AS e
+      |  FROM orders)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "eval_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "topk_window" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "containment_join" -> (spansCte +
+      """, enc AS (
+        |  SELECT a.id AS id, b.id AS enc_id,
+        |    row_number() OVER (PARTITION BY a.id
+        |      ORDER BY b.e - b.s, b.s, b.id) AS rn
+        |  FROM spans a JOIN spans b ON a.grp = b.grp
+        |    AND b.s <= a.s AND a.e <= b.e AND (b.s < a.s OR a.e < b.e))
+        |SELECT s.id AS id, e2.enc_id AS enc_id FROM spans s
+        |LEFT JOIN enc e2 ON s.id = e2.id AND e2.rn = 1
+        |ORDER BY id""".stripMargin),
+    "iou_pairs" -> (spansCte +
+      """SELECT a.id AS id1, b.id AS id2,
+        |  CAST(1 + least(a.e, b.e) - greatest(a.s, b.s) AS DOUBLE) /
+        |  CAST(1 + greatest(a.e, b.e) - least(a.s, b.s) AS DOUBLE) AS iou
+        |FROM spans a JOIN spans b ON a.grp = b.grp AND a.id < b.id
+        |WHERE 1 + least(a.e, b.e) - greatest(a.s, b.s) > 0
+        |  AND CAST(1 + least(a.e, b.e) - greatest(a.s, b.s) AS DOUBLE) /
+        |      CAST(1 + greatest(a.e, b.e) - least(a.s, b.s) AS DOUBLE) > 0.5
+        |ORDER BY id1, id2""".stripMargin),
+    "histogram" ->
+      """SELECT p_type, count(*) AS n,
+        |  CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size,
+        |  count(*) * (count(*) + 1) / 2 - count(*) AS neg_spans
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "vocab_build" ->
+      """SELECT word, CAST(row_number() OVER (ORDER BY word) - 1 AS INT) AS id
+        |FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        |      FROM documents) WHERE length(word) > 0
+        |ORDER BY word""".stripMargin,
+    "doc_context" ->
+      """SELECT user_id, event_id, event_type,
+        |  lag(event_type, 1) OVER w AS prev_type,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "bies_labels" -> (spansCte +
+      """SELECT id, CAST(pos AS BIGINT) AS pos,
+        |  CASE WHEN s = e THEN 'S' WHEN pos = s THEN 'B'
+        |       WHEN pos = e THEN 'E' ELSE 'I' END AS label
+        |FROM (SELECT *, unnest(generate_series(s, e)) AS pos
+        |      FROM spans WHERE id % 100 = 0)
+        |ORDER BY id, pos""".stripMargin),
+    "mention_format" -> (spansCte +
+      """SELECT id, printf('%d,%d grp%d', s, e + 1, grp) AS mention
+        |FROM spans WHERE id % 50 = 0 ORDER BY id""".stripMargin),
+    "span_enum" ->
+      """SELECT doc_id, n, n * (n + 1) / 2 AS n_spans FROM (
+        |  SELECT doc_id,
+        |    CAST(least(length(string_split(text, ' ')), 12) AS INT) AS n
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "prf_agg" ->
+      """WITH pred AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |              WHERE l_quantity > 25),
+        |gold AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |         WHERE l_discount > 0.05),
+        |c AS (SELECT count(*) AS correct FROM pred JOIN gold USING (l_orderkey, l_partkey)),
+        |n AS (SELECT (SELECT count(*) FROM pred) AS npred,
+        |             (SELECT count(*) FROM gold) AS ngold)
+        |SELECT correct, npred, ngold,
+        |  CAST(correct AS DOUBLE) / npred AS p,
+        |  CAST(correct AS DOUBLE) / ngold AS r,
+        |  2 * (CAST(correct AS DOUBLE) / npred) * (CAST(correct AS DOUBLE) / ngold) /
+        |    ((CAST(correct AS DOUBLE) / npred) + (CAST(correct AS DOUBLE) / ngold)) AS f1
+        |FROM c, n""".stripMargin)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.core._
+import graft.extract.{ReferenceScorer, Tokenizer}
+import graft.kernel.{TriaffineScorer, Weights}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure (no-Spark) tests: generator/tokenizer round trip, kernel rule
+  * exactness vs closed-form gold, determinism. */
+class CorpusKernelSpec extends AnyFunSuite {
+
+  val N = 120 // tiny corpus (FIXTURES.md scales)
+
+  test("generator is deterministic") {
+    val a = CorpusGen.file(17L)
+    val b = CorpusGen.file(17L)
+    assert(a == b)
+    assert(a.source.sha256 == CorpusGen.sha256Hex(a.source.content))
+  }
+
+  test("tokenizer inverts the generator rendering (round trip)") {
+    (0 until N).foreach { id =>
+      val g = CorpusGen.file(id.toLong)
+      val docId = s"${g.source.repo}/${g.source.path}"
+      val sents = Tokenizer.sentences(docId, g.source.content)
+      // every gold mention's span indices must address real tokens with
+      // the expected surface
+      val byId = sents.map(s => s.sentId -> s).toMap
+      g.mentions.foreach { m =>
+        val s = byId(m.sentId)
+        val surf = s.tokens.slice(m.start, m.end).mkString(" ")
+        assert(surf == m.surface,
+          s"file=$id sent=${m.sentId} ${m.entType}: got '$surf' want '${m.surface}'\n" +
+            s"tokens=${s.tokens.mkString("|")}")
+      }
+    }
+  }
+
+  test("kernel mentions == closed-form gold mentions (P=R=1.0)") {
+    val w = Weights.default
+    var pred = Set.empty[(String, Int, Int, Int, String)]
+    var gold = Set.empty[(String, Int, Int, Int, String)]
+    (0 until N).foreach { id =>
+      val g = CorpusGen.file(id.toLong)
+      val docId = s"${g.source.repo}/${g.source.path}"
+      Tokenizer.sentences(docId, g.source.content).foreach { s =>
+        TriaffineScorer.mentions(s, w).foreach { m =>
+          pred += ((m.docId, m.sentId, m.start, m.end, m.entType))
+        }
+      }
+      g.mentions.foreach { m =>
+        gold += ((m.docId, m.sentId, m.start, m.end, m.entType))
+      }
+    }
+    val falsePos = pred -- gold
+    val falseNeg = gold -- pred
+    assert(falsePos.isEmpty, s"false positives (${falsePos.size}): ${falsePos.take(5)}")
+    assert(falseNeg.isEmpty, s"false negatives (${falseNeg.size}): ${falseNeg.take(5)}")
+  }
+
+  test("nested spans coexist (signature strictly contains function)") {
+    val g = CorpusGen.file(3L)
+    val docId = s"${g.source.repo}/${g.source.path}"
+    val w = Weights.default
+    val ms = Tokenizer.sentences(docId, g.source.content)
+      .flatMap(s => TriaffineScorer.mentions(s, w))
+    val sigs = ms.filter(_.entType == "signature")
+    assert(sigs.nonEmpty)
+    sigs.foreach { sig =>
+      val inner = ms.filter(m => m.sentId == sig.sentId &&
+        m.start >= sig.start && m.end <= sig.end && m != sig)
+      assert(inner.exists(_.entType == "function"))
+      assert(inner.exists(_.entType == "type_ref"))
+    }
+  }
+
+  test("ReferenceScorer twin is deterministic and non-empty") {
+    val a = ReferenceScorer.mentions(0 until 20)
+    val b = ReferenceScorer.mentions(0 until 20)
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("union-find canonical map merges bridge pairs and hot alias") {
+    val c = Vocab.canonicalOf
+    // bridge0 connects idents(0) and idents(1)
+    assert(c(Vocab.idents(0)) == c(Vocab.idents(1)))
+    // hot alias 'common' merges idents 32..39
+    (33 until 40).foreach(i =>
+      assert(c(Vocab.idents(32)) == c(Vocab.idents(i))))
+    // canonical is a member-min fixpoint
+    c.foreach { case (e, canon) => assert(c(canon) == canon && canon <= e) }
+  }
+}

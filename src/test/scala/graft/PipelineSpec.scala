@@ -1,0 +1,57 @@
+package graft
+
+import graft.canon.ConnectedComponents
+import graft.core._
+import graft.evalm.StrictMetric
+import graft.extract.{Extract, ReferenceScorer}
+import graft.link.Linker
+import org.apache.spark.sql.functions._
+
+/** Distributed end-to-end: extract parity vs the sequential twin,
+  * CC vs driver union-find, triples vs closed-form gold. */
+class PipelineSpec extends SparkSpec {
+
+  val N = 150
+
+  test("sha256 content invariant holds on the synthesized corpus") {
+    val n = Extract.verifyIntegrity(Extract.corpus(spark, N))
+    assert(n == N)
+  }
+
+  test("distributed mentions == sequential ReferenceScorer twin (P=R=1)") {
+    import spark.implicits._
+    val dist = Extract.run(spark, N).toDF()
+    val twin = ReferenceScorer.mentions(0 until N).toDF()
+    val m = StrictMetric.prf(dist, twin)
+    assert(m.p == 1.0 && m.r == 1.0,
+      s"parity broken: $m")
+  }
+
+  test("distributed CC == driver union-find") {
+    val got = ConnectedComponents.canonicalMap(Linker.aliasDf(spark))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Vocab.canonicalOf)
+  }
+
+  test("pipeline triples match closed-form gold (P/R >= 0.95)") {
+    val st = Pipeline.run(spark, N)
+    val gold = Pipeline.goldTriples(spark, N)
+    val m = StrictMetric.triplePrf(st.triples, gold)
+    assert(m.p >= 0.95 && m.r >= 0.95, s"triples off: $m")
+    // and strict mention-level P/R vs gold mentions
+    val gm = Pipeline.goldMentions(spark, N)
+    val mm = StrictMetric.prf(st.mentions.toDF(), gm)
+    assert(mm.p >= 0.95 && mm.r >= 0.95, s"mentions off: $mm")
+  }
+
+  test("linking resolves snake_case call-site aliases") {
+    import spark.implicits._
+    val st = Pipeline.run(spark, 60)
+    val snakes = st.canonMentions
+      .filter($"surface".contains("_") && $"entType" === "identifier")
+    if (snakes.count() > 0) {
+      val unresolved = snakes.filter($"entity" === $"surface").count()
+      assert(unresolved == 0, "snake_case surfaces must link to camelCase entities")
+    }
+  }
+}
