@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{KgQueries, RelationalQueries}
+import graft.queries.{KgQueries, RelationalQueries, TrainingDataQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,8 @@ object SparkEntry {
     Pipeline.run(spark, nFiles = 150).triples
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ KgQueries.all
+    RelationalQueries.all ++ TrainingDataQueries.all ++ KgQueries.all
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ TrainingDataQueries.oracles
 }

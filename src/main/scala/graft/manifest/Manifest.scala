@@ -54,11 +54,11 @@ object ResumableStage {
       .partitionBy("bucket").parquet(outPath)
     // per-bucket stats AFTER the data is durable -> commit rows
     val stats = pending
+      .withColumn("h", xxhash64(struct(pending.columns.map(col): _*)))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("rowCount"),
         format_string("%016x",
-          coalesce(sum(xxhash64(struct(pending.columns.map(col): _*))),
-            lit(0L))).as("sha256Agg"))
+          coalesce(expr("bit_xor(h)"), lit(0L))).as("sha256Agg"))
       .collect()
     val now = System.currentTimeMillis()
     val rows = todo.map { b =>

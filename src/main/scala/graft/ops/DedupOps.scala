@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact (hash groupBy), n-gram Jaccard (inverted-index
+  * join), MinHash+LSH (banded signature join), SimHash (hamming-banded).
+  *
+  * Scale design:
+  *  - exact: one shuffle on the fingerprint; map-side partial agg.
+  *  - jaccard: candidate generation is an equi-join on shared shingles
+  *    (inverted index), NEVER a cross join; the common-shingle count is
+  *    a partial-aggregated groupBy. Hot shingles (stopword trigrams)
+  *    would skew the index join at 100 TB — cap posting-list length or
+  *    drop top-frequency shingles (df cut), as noted inline.
+  *  - minhash: signatures are one groupBy over exploded shingles
+  *    (16 mins computed as one aggregate pass); LSH bands turn the
+  *    quadratic verification into an equi-join on (band, signature) —
+  *    the classic sub-quadratic near-dup path at web scale.
+  *  - simhash: one 64->16-bit signature per doc; banding on the top
+  *    bits, verify by hamming distance (bit_count(xor)).
+  *
+  * All hash arithmetic is the portable md5-60bit + modular family
+  * (a_i*x + b_i mod p) so the DuckDB oracles replicate results exactly.
+  */
+object DedupOps {
+
+  import TextOps.{md5h60, ngrams}
+
+  val P30 = 1073741789L   // prime < 2^30: keeps a*x + b within 2^35
+  val PMOD = 1000000007L
+  val NumHashes = 16
+  val Bands = 4           // 4 bands x 4 rows: ~99.999% recall at j>=0.9
+  val RowsPerBand = 4
+
+  /** Exact dedup groups: fingerprint -> (representative = min id,
+    * group size). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct (id, shingle) posting table. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      explode(ngrams(col(textCol), n)).as("ng"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    * At 100 TB add a df-cut: filter shingles with document frequency
+    * above a cap before the self-join (drops only stop-shingles that
+    * cannot create high-jaccard pairs on their own). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol).cache()
+    val n = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+      col("a.ng") === col("b.ng") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(n.as("n1"), col("d1") === col("n1.doc"))
+      .join(n.as("n2"), col("d2") === col("n2.doc"))
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") /
+          (col("n1.n") + col("n2.n") - col("c")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature columns mh0..mh15 per doc (single agg pass). */
+  def minhashSignatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val x = pmod(md5h60(col("ng")), lit(P30))
+    val aggs = (0 until NumHashes).map { i =>
+      min((x * (2 * i + 1) + (97 + 31 * i)) % PMOD).as(s"mh$i")
+    }
+    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash LSH near-dup pairs: band -> candidate equi-join -> exact
+    * Jaccard verification of candidates only. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol)
+    val bandRows = sigs.select(col("doc"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until RowsPerBand)
+            .map(r => col(s"mh${b * RowsPerBand + r}")): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cands = bandRows.as("a").join(bandRows.as("b"),
+      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    // verify candidates with exact jaccard (semi-joined posting lists)
+    val sh = shingles(docs, idCol, textCol).cache()
+    val n = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val common = cands
+      .join(sh.as("s1"), col("d1") === col("s1.doc"))
+      .join(sh.as("s2"),
+        col("d2") === col("s2.doc") && col("s1.ng") === col("s2.ng"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    common
+      .join(n.as("n1"), col("d1") === col("n1.doc"))
+      .join(n.as("n2"), col("d2") === col("n2.doc"))
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") /
+          (col("n1.n") + col("n2.n") - col("c")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash per doc from distinct-token 60-bit hashes. */
+  def simhashSignatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(TextOps.words(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+    val h = md5h60(col("w"))
+    val bitSums = (0 until 32).map { k =>
+      sum(when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"),
+        (0 until 32).map(k =>
+          when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band on the top 16 bits (LSH bucket),
+    * verify hamming(sig1, sig2) <= maxHamming within buckets. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
+      .withColumn("band", shiftright(col("simhash"), 16))
+    sigs.as("a").join(sigs.as("b"),
+      col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

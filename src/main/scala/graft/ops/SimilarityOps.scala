@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  *  - brute-force cosine top-k: the exactness baseline. Cross join of a
+  *    small query set against all candidates; at cluster scale the
+  *    query side is broadcast so the scan over candidates is a single
+  *    narrow pass (no shuffle of the big side).
+  *  - LSH-bucketed (random hyperplane signs): the scale path. Each
+  *    vector gets a deterministic bucket id from the sign pattern of
+  *    `nPlanes` seeded hyperplane dot products; search compares only
+  *    within a bucket — candidates shrink ~2^nPlanes-fold, recall
+  *    measured against brute force in tests.
+  *
+  * All dot products run in double precision, summed left-to-right
+  * (matches the DuckDB oracle's list_dot_product evaluation order).
+  */
+object SimilarityOps {
+
+  /** embedding as array<double> (float parquet values widen exactly). */
+  private def dvec(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force top-k neighbors for the query set (by id predicate).
+    * Output: (query_id, rank, neighbor_id) — ids only; float scores are
+    * order-determining but not emitted (hash-compare safety). */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), dvec(col("embedding")).as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      dvec(col("embedding")).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Deterministic seeded hyperplanes (nPlanes x dim). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 11L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-pattern LSH bucket id for each vector (column expression over
+    * a literal plane matrix — stays inside codegen). */
+  def bucketCol(emb: Column, planes: Array[Array[Double]]): Column = {
+    val v = dvec(emb)
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zipWithIndex.map { case (w, j) =>
+        element_at(v, j + 1) * lit(w)
+      }.reduce(_ + _)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Multi-table LSH ANN: `nTables` independent hyperplane sets; a
+    * candidate matches if it shares the query's bucket in ANY table
+    * (classic recall amplification: 1-(1-p^r)^L). Candidates then get
+    * exact cosine + top-k. Recall < 1 by design (tested vs brute
+    * force); candidate volume shrinks ~2^nPlanes/L-fold vs brute force,
+    * which is the point at web scale. */
+  def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nPlanes: Int = 4, nTables: Int = 4, dim: Int = 64): DataFrame = {
+    val tables = (0 until nTables).map(t => hyperplanes(nPlanes, dim, 11L + t))
+    val bucketArr = array(tables.map(p => bucketCol(col("embedding"), p)): _*)
+    // (vec, table, bucket) rows — the LSH index
+    val withB = emb.select(col("vec_id"), col("embedding"),
+      posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    val q = withB.filter(queryPred)
+      .select(col("vec_id").as("query_id"), dvec(col("embedding")).as("qv"),
+        col("tbl").as("qt"), col("bucket").as("qb"))
+    val c = withB.select(col("vec_id").as("neighbor_id"),
+      dvec(col("embedding")).as("cv"), col("tbl").as("ct"),
+      col("bucket").as("cb"))
+    val cands = broadcast(q).join(c,
+      col("qt") === col("ct") && col("qb") === col("cb") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    cands
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-dup: globally top-n most-similar pairs among
+    * a sampled query side (id % sampleMod == 0) vs all. */
+  def topPairs(emb: DataFrame, sampleMod: Int, topN: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("id1"), dvec(col("embedding")).as("v1"))
+    val c = emb.select(col("vec_id").as("id2"), dvec(col("embedding")).as("v2"))
+    val w = Window.orderBy(desc("cos"), asc("id1"), asc("id2"))
+    broadcast(q).join(c, col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("id1"), col("id2"))
+  }
+}

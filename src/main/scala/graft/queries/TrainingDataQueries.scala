@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.ops.{DedupOps, Multimodal, SimilarityOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the documents/embeddings
+  * tables: dedup family, similarity search, text analysis, multimodal
+  * plumbing. Oracle SQL provided for everything SQL-expressible (the
+  * hash family is the portable md5-60bit arithmetic so DuckDB
+  * reproduces values exactly); LSH-ANN and the mapPartitions decode
+  * stub are rows-only + ScalaTest-covered. */
+object TrainingDataQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val textStats: Q = (s, d) => {
+    val (nTok, nSub) = TextOps.tokenCounts(col("text"))
+    val quality = TextOps.qualityCols(col("text"))
+    docs(s, d).select(
+      Seq(col("doc_id"), nTok.as("n_tokens_ws"), nSub.as("n_subtokens")) ++
+        quality.drop(1).map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val langId: Q = (s, d) => {
+    val cols = TextOps.langIdCols(col("text"))
+    docs(s, d).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupExactDocs: Q = (s, d) =>
+    DedupOps.exactGroups(docs(s, d), "doc_id", "text")
+      .orderBy(col("fingerprint"))
+
+  private val dedupJaccard: Q = (s, d) =>
+    DedupOps.jaccardPairs(docs(s, d), "doc_id", "text", 0.7)
+      .orderBy(col("d1"), col("d2"))
+
+  private val dedupMinhash: Q = (s, d) =>
+    DedupOps.minhashLshPairs(docs(s, d), "doc_id", "text", 0.7)
+      .orderBy(col("d1"), col("d2"))
+
+  private val dedupSimhash: Q = (s, d) =>
+    DedupOps.simhashPairs(docs(s, d), "doc_id", "text", 3)
+      .withColumn("hamming", col("hamming").cast("int"))
+      .orderBy(col("d1"), col("d2"))
+
+  private val annTopk: Q = (s, d) =>
+    SimilarityOps.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  private val annLsh: Q = (s, d) =>
+    SimilarityOps.lshTopK(emb(s, d), col("vec_id") < 10, 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  private val embedPairs: Q = (s, d) =>
+    SimilarityOps.topPairs(emb(s, d), sampleMod = 10, topN = 20)
+      .orderBy(col("rank"))
+
+  private val mmFeatures: Q = (s, d) => {
+    val media = Multimodal.mediaTable(docs(s, d))
+    Multimodal.decodeFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        element_at(col("features"), 4).as("mean_byte"))
+      .orderBy(col("media_id"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "text_stats" -> textStats,
+    "lang_id" -> langId,
+    "dedup_exact_docs" -> dedupExactDocs,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "ann_topk" -> annTopk,
+    "ann_lsh" -> annLsh,
+    "embed_pairs" -> embedPairs,
+    "mm_features" -> mmFeatures)
+
+  // ----------------------------------------------------------------
+  // DuckDB oracles
+  // ----------------------------------------------------------------
+
+  private def inList(set: Seq[String]) =
+    set.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val shinglesCte =
+    """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id AS doc,
+      |  unnest(list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+      |                        for i in range(1, len(t)-1)])) AS ng
+      |FROM tt)
+      |""".stripMargin
+
+  private val jaccardBody =
+    """, n AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+      |common AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.ng = b.ng AND a.doc < b.doc GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |  CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) AS jaccard
+      |FROM common JOIN n n1 ON d1 = n1.doc JOIN n n2 ON d2 = n2.doc
+      |WHERE CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) >= 0.7
+      |ORDER BY d1, d2""".stripMargin
+
+  private val minhashOracle: String = {
+    val mins = (0 until DedupOps.NumHashes).map { i =>
+      s"min((x * ${2 * i + 1} + ${97 + 31 * i}) % ${DedupOps.PMOD}) AS mh$i"
+    }.mkString(",\n  ")
+    val bands = (0 until DedupOps.Bands).map { b =>
+      val sig = (0 until DedupOps.RowsPerBand)
+        .map(r => s"mh${b * DedupOps.RowsPerBand + r}")
+        .mkString("||','||")
+      s"SELECT doc, $b AS band, $sig AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    shinglesCte +
+      s""", hx AS (SELECT doc,
+         |  ('0x'||substr(md5(ng),1,15))::BIGINT % ${DedupOps.P30} AS x FROM sh),
+         |sig AS (SELECT doc,
+         |  $mins
+         |FROM hx GROUP BY doc),
+         |bands AS (
+         |  $bands),
+         |cand AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2 FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc),
+         |n AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+         |common AS (SELECT d1, d2, count(*) AS c FROM cand
+         |  JOIN sh s1 ON d1 = s1.doc
+         |  JOIN sh s2 ON d2 = s2.doc AND s1.ng = s2.ng GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |  CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) AS jaccard
+         |FROM common JOIN n n1 ON d1 = n1.doc JOIN n n2 ON d2 = n2.doc
+         |WHERE CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) >= 0.7
+         |ORDER BY d1, d2""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val bits = (0 until 32).map { k =>
+      s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k"
+    }.mkString(",\n  ")
+    val sig = (0 until 32).map { k =>
+      s"(CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id AS doc,
+       |  unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+       |h AS (SELECT doc, ('0x'||substr(md5(w),1,15))::BIGINT AS h
+       |  FROM tok WHERE length(w) > 0),
+       |bits AS (SELECT doc,
+       |  $bits
+       |FROM h GROUP BY doc),
+       |sig AS (SELECT doc, $sig AS simhash FROM bits),
+       |sb AS (SELECT doc, simhash, simhash >> 16 AS band FROM sig)
+       |SELECT a.doc AS d1, b.doc AS d2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sb a JOIN sb b ON a.band = b.band AND a.doc < b.doc
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  private val langIdOracle: String = {
+    val hits = TextOps.langSets.map { case (l, set) =>
+      s"len(list_filter(string_split(text, ' '), w -> list_contains(${inList(set)}, w))) AS hits_$l"
+    }.mkString(",\n  ")
+    val langs = TextOps.langSets.map(_._1)
+    val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val pred = langs.map(l => s"WHEN hits_$l = $best THEN '$l'")
+      .mkString("CASE WHEN " + best + " = 0 THEN 'und' ", " ", " END")
+    s"""SELECT doc_id, ${langs.map(l => s"hits_$l").mkString(", ")},
+       |  $pred AS lang_pred
+       |FROM (SELECT doc_id,
+       |  $hits
+       |FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_subtokens,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |    CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) /
+         |    CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    w -> list_contains(${inList(TextOps.stopEn)}, w))) AS DOUBLE) /
+         |    CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS stopword_ratio,
+         |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) /
+         |    CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS mean_word_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" -> langIdOracle,
+    "dedup_exact_docs" ->
+      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+        |  min(doc_id) AS rep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_jaccard" -> (shinglesCte + jaccardBody),
+    "dedup_minhash" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
+    "ann_topk" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                      c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "embed_pairs" ->
+      """SELECT rank, id1, id2 FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    row_number() OVER (
+        |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                      b.embedding::DOUBLE[]) DESC,
+        |               a.vec_id, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id % 10 = 0)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin)
+}

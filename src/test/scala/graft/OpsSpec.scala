@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.{DedupOps, Multimodal, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Training-data ops: dedup recall properties, ANN recall vs brute
+  * force, multimodal plumbing. Runs on the driver's sf0.001 tables. */
+class OpsSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("minhash LSH recall >= 0.9 vs exact jaccard at threshold 0.7") {
+    val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.7)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLshPairs(docs, "doc_id", "text", 0.7)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH pairs must be verified-exact subset")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("jaccard pairs are symmetric-free and within [0.7, 1]") {
+    val rows = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.7).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.7 && j <= 1.0)
+    }
+  }
+
+  test("exact dedup groups partition the corpus") {
+    val total = docs.count()
+    val sum = DedupOps.exactGroups(docs, "doc_id", "text")
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(sum == total)
+  }
+
+  test("simhash: identical docs get identical signatures; near-dups close") {
+    import spark.implicits._
+    val twin = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta"),
+      (4L, "totally different words here entirely now"))
+      .toDF("doc_id", "text")
+    val sigs = DedupOps.simhashSignatures(twin, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val near = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("LSH ANN recall@5 >= 0.3 vs brute force, and is a valid top-k") {
+    val bf = SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = SimilarityOps.lshTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.3, s"ANN recall $recall")
+  }
+
+  test("brute-force top-k is the true top-k (spot check vs local compute)") {
+    val vecs = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = SimilarityOps.bruteForceTopK(emb, col("vec_id") === 0, 5)
+      .orderBy("rank").collect().map(_.getLong(2)).toVector
+    val want = vecs.keys.filter(_ != 0L).toVector
+      .map(id => (id, cos(vecs(0L), vecs(id))))
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got == want)
+  }
+
+  test("multimodal decode: batched stub is deterministic and schema-stable") {
+    val media = Multimodal.mediaTable(docs.limit(50))
+    val f1 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(media.repartition(7)).collect()
+      .sortBy(_.media_id)
+    assert(f1.length == 50)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.media_id == b.media_id && a.checksum == b.checksum &&
+        a.features.sameElements(b.features))
+    }
+    assert(f1.forall(_.features.length == 8))
+  }
+
+  test("lang_id ties break lexicographically and 'und' when no hits") {
+    import spark.implicits._
+    val d = Seq((1L, "the der"), (2L, "xyzzy qwerty"))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      TextOps.langIdCols(col("text")).last._2.as("lang_pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "de") // tie de/en -> lexicographically first
+    assert(out(2L) == "und")
+  }
+}
