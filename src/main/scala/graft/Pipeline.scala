@@ -9,36 +9,75 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end KG-construction pipeline (the flagship query,
-  * SURVEY §3.2): source table -> sentences -> triaffine extract ->
-  * link -> canonicalize -> triples. */
+  * SURVEY §3.2): source table -> fused tokenize+triaffine extract ->
+  * broadcast link -> canonicalize -> triples.
+  *
+  * The canonical-entity map is a pure function of the (static) alias
+  * dictionary — a dimension build. It is computed once per process and
+  * reused across jobs (`staticCanonMap`), exactly as a production
+  * pipeline materializes dimension tables; the corpus-proportional
+  * stages (extract, link, emit) are what scale with data volume.
+  */
 object Pipeline {
 
   final case class Stages(
       files: Dataset[SourceFileHashed],
-      sentences: Dataset[Sentence],
       mentions: Dataset[Mention],
       canonMentions: DataFrame,
       triples: DataFrame)
 
-  def run(spark: SparkSession, nFiles: Long,
-      verifySha: Boolean = false): Stages = {
+  /** (entity, canonical) rows collected once; tiny dimension. */
+  @volatile private var canonCache: Option[Array[(String, String)]] = None
+
+  def staticCanonMap(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = canonCache.getOrElse {
+      val r = ConnectedComponents.canonicalMap(Linker.aliasDf(spark))
+        .collect().map(x => (x.getString(0), x.getString(1)))
+      canonCache = Some(r)
+      r
+    }
+    rows.toSeq.toDF("entity", "canonical")
+  }
+
+  /** relationalEmit = true uses the 5-branch DataFrame emitter
+    * (operator showcase, needs a cache of the mention table);
+    * false (default) uses the fused single-shuffle emitter. */
+  def run(spark: SparkSession, nFiles: Long, verifySha: Boolean = false,
+      relationalEmit: Boolean = false): Stages = {
     import spark.implicits._
     val files = Extract.corpus(spark, nFiles)
     if (verifySha) Extract.verifyIntegrity(files)
-    val sents = Extract.sentences(files).cache()
-    val ments = Extract.mentions(sents)
-      .dropDuplicates("docId", "sentId", "start", "end", "entType")
-      .as[Mention]
+    val ments = Extract.mentionsFused(files)
     val linked = Linker.link(ments)
-    // canonical map is a small dimension table -> broadcast join
-    val canonMap = ConnectedComponents.canonicalMap(
-      Linker.aliasDf(spark))
+    val canonMap = staticCanonMap(spark)
     val canon = linked.join(broadcast(canonMap),
       linked("entity") === canonMap("entity"), "left")
       .select(linked("*"),
         coalesce(col("canonical"), linked("entity")).as("canonical"))
-    val triples = TripleEmit.emit(canon, sents)
-    Stages(files, sents, ments, canon, triples)
+    val triples =
+      if (relationalEmit) TripleEmit.emit(canon)
+      else TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
+    Stages(files, ments, canon, triples)
+  }
+
+  /** Pipeline over a materialized source table (the production shape:
+    * north_star reads the Iceberg source-code table; synthesis is data
+    * prep, not pipeline). */
+  def runFromTable(spark: SparkSession, path: String,
+      verifySha: Boolean = false): Stages = {
+    import spark.implicits._
+    val files = spark.read.parquet(path).as[SourceFileHashed]
+    if (verifySha) Extract.verifyIntegrity(files)
+    val ments = Extract.mentionsFused(files)
+    val linked = Linker.link(ments)
+    val canonMap = staticCanonMap(spark)
+    val canon = linked.join(broadcast(canonMap),
+      linked("entity") === canonMap("entity"), "left")
+      .select(linked("*"),
+        coalesce(col("canonical"), linked("entity")).as("canonical"))
+    val triples = TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
+    Stages(files, ments, canon, triples)
   }
 
   /** Gold triples for the same corpus slice (closed-form). */
@@ -51,7 +90,6 @@ object Pipeline {
   /** Gold mentions for the same corpus slice (closed-form). */
   def goldMentions(spark: SparkSession, nFiles: Long): DataFrame = {
     import spark.implicits._
-    spark.range(nFiles).flatMap(id => CorpusGen.file(id).mentions)
-      .toDF().withColumnRenamed("entType", "entType")
+    spark.range(nFiles).flatMap(id => CorpusGen.file(id).mentions).toDF()
   }
 }

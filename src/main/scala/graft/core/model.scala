@@ -38,7 +38,10 @@ final case class Sentence(
     tokens: Seq[String],
     pos: Seq[String])  // code-aware tag per token (KW_DEF, IDENT, ...)
 
-/** Extracted typed mention. `end` EXCLUSIVE. */
+/** Extracted typed mention. `end` EXCLUSIVE. `nextTok` is the token
+  * right after the span ("" at line end) — a token-local feature
+  * computed for free at extract time so downstream triple rules
+  * (call-site detection) need no join back to the sentence table. */
 final case class Mention(
     docId: String,
     sentId: Int,
@@ -46,7 +49,8 @@ final case class Mention(
     end: Int,
     entType: String,
     score: Double,
-    surface: String)
+    surface: String,
+    nextTok: String)
 
 /** Mention linked to a candidate canonical entity. */
 final case class LinkedMention(
@@ -57,7 +61,8 @@ final case class LinkedMention(
     entType: String,
     surface: String,
     entity: String,     // linked entity key (pre-canonicalization)
-    linkScore: Double)
+    linkScore: Double,
+    nextTok: String)
 
 /** Final KG triple. */
 final case class Triple(

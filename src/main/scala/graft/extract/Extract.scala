@@ -44,8 +44,9 @@ object Extract {
     files.flatMap(f => Tokenizer.sentences(s"${f.repo}/${f.path}", f.content))
   }
 
-  /** The distributed kernel stage. One broadcast of the weight bundle;
-    * repartition by docId hash to spread the hot repo. */
+  /** The distributed kernel stage over an explicit sentence table
+    * (used by tests/streaming; the batch hot path uses
+    * [[mentionsFused]]). */
   def mentions(sents: Dataset[Sentence],
       numPartitions: Option[Int] = None): Dataset[Mention] = {
     val spark = sents.sparkSession
@@ -62,15 +63,38 @@ object Extract {
       }
   }
 
-  /** Full extract: corpus -> mentions, with per-sentence dedup
-    * (reference evaluation.py:26 set-dedup; here spans are unique per
-    * sentence by construction so dropDuplicates is a safety net). */
-  def run(spark: SparkSession, nFiles: Long): Dataset[Mention] = {
+  /** Fused hot path: files -> mentions in ONE narrow stage after a
+    * single shuffle of the compact file rows (repartition by
+    * hash(repo,path) = the explicit skew control). Tokenization and
+    * the kernel run inside the same mapPartitions closure, so the
+    * intermediate Sentence never crosses an encoder/shuffle boundary —
+    * at 100 TB that avoids serializing the exploded token arrays
+    * (≈12x the row count of the file table). Mentions are unique per
+    * sentence by construction (distinct grid cells), so no dedup
+    * shuffle is needed (reference set-dedup, evaluation.py:26, is a
+    * no-op here — asserted in tests). */
+  def mentionsFused(files: Dataset[SourceFileHashed],
+      numPartitions: Option[Int] = None): Dataset[Mention] = {
+    val spark = files.sparkSession
     import spark.implicits._
-    mentions(sentences(corpus(spark, nFiles)))
-      .dropDuplicates("docId", "sentId", "start", "end", "entType")
-      .as[Mention]
+    val bw = spark.sparkContext.broadcast(Weights.default)
+    val parts = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    files
+      .repartition(parts, xxhash64(col("repo"), col("path")))
+      .as[SourceFileHashed]
+      .mapPartitions { it =>
+        val w = bw.value
+        it.flatMap { f =>
+          Tokenizer.sentences(s"${f.repo}/${f.path}", f.content)
+            .iterator.flatMap(s => TriaffineScorer.mentions(s, w))
+        }
+      }
   }
+
+  /** Full extract: corpus -> mentions. */
+  def run(spark: SparkSession, nFiles: Long): Dataset[Mention] =
+    mentionsFused(corpus(spark, nFiles))
 }
 
 /** Sequential twin: same arithmetic, no Spark. This is the "reference

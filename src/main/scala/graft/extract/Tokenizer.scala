@@ -15,7 +15,9 @@ object Tokenizer {
   import Tags._
 
   private val word = "[A-Za-z_][A-Za-z0-9_]*".r
-  private val tokenRe = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^\\sA-Za-z0-9_]".r
+  private val tokenPat =
+    java.util.regex.Pattern.compile("[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^\\sA-Za-z0-9_]")
+  private val wsPat = java.util.regex.Pattern.compile("\\s+")
 
   private val kw: Map[String, String] = Map(
     "def" -> KwDef, "import" -> KwImport, "package" -> KwPackage,
@@ -39,7 +41,7 @@ object Tokenizer {
     val t = line.trim
     if (t.isEmpty) (Array.empty, Array.empty)
     else if (t.startsWith("/**") || t.startsWith("#") || t.startsWith("*")) {
-      val toks = t.split("\\s+")
+      val toks = wsPat.split(t)
       val tags = toks.map { w =>
         if (w.head.isUpper && w.forall(c => c.isLetterOrDigit) &&
           !Vocab.docStopCaps.contains(w)) DocCap
@@ -47,7 +49,10 @@ object Tokenizer {
       }
       (toks, tags)
     } else {
-      val toks = tokenRe.findAllIn(t).toArray
+      val m = tokenPat.matcher(t)
+      val buf = Array.newBuilder[String]
+      while (m.find()) buf += m.group()
+      val toks = buf.result()
       (toks, toks.map(tagOf))
     }
   }

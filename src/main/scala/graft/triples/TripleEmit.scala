@@ -1,35 +1,35 @@
 package graft.triples
 
-import graft.core.{LinkedMention, Sentence, Triple}
+import graft.core.Triple
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Triple materialization: canonical mentions + sentences ->
-  * (subj, pred, obj) rows for the five predicates
-  * (BASELINE.json north_star): defines_symbol, imports, calls,
-  * has_type, documented_as.
+/** Triple materialization: canonical mentions -> (subj, pred, obj)
+  * rows for the five predicates (BASELINE.json north_star):
+  * defines_symbol, imports, calls, has_type, documented_as.
   *
-  * All five are relational compositions over the mention table:
+  * All five are relational compositions over the mention table alone
+  * (token-local features like nextTok were computed at extract time):
   *  - defines_symbol / imports: projections of function / api_symbol
   *    mentions;
   *  - has_type: positional self-join (type_ref immediately after the
   *    `ident :` of a parameter);
-  *  - calls: mention ⋈ sentence token check (next token is `(`) +
+  *  - calls: call-site identifiers (nextTok = `(`) joined to the
   *    nearest-PRECEDING function via window;
   *  - documented_as: nearest-FOLLOWING function via window.
   *
   * Scale notes: all joins are co-keyed on (docId) or
   * (docId, sentId) — the mention table is already partitioned by docId
-  * hash coming out of the extract stage, so these are narrow-ish
-  * shuffles on the same key family. The windows partition by docId,
-  * never global. Output is deduplicated and bucketable by
-  * hash(canonical subj) for the downstream graph table.
+  * hash coming out of the extract stage, so these are shuffles on the
+  * same key family. The windows partition by docId, never global.
+  * Output is deduplicated and bucketable by hash(canonical subj) for
+  * the downstream graph table.
   */
 object TripleEmit {
 
   /** canonMentions: LinkedMention columns + `canonical` (post-CC). */
-  def emit(canonMentions: DataFrame, sentences: Dataset[Sentence]): DataFrame = {
+  def emit(canonMentions: DataFrame): DataFrame = {
     val spark = canonMentions.sparkSession
     import spark.implicits._
     val m = canonMentions.cache()
@@ -61,11 +61,10 @@ object TripleEmit {
       .select($"docId".as("fdoc"), $"sentId".as("fnSent"),
         $"canonical".as("fnC"))
 
-    // calls: identifier whose next token is "(" -> nearest preceding def
-    val sentTok = sentences.toDF("sdoc", "ssent", "tokens", "pos")
-    val callees = m.filter($"entType" === "identifier")
-      .join(sentTok, $"docId" === $"sdoc" && $"sentId" === $"ssent")
-      .filter(element_at($"tokens", $"end" + 1) === "(")
+    // calls: identifier whose next token is "(" -> nearest preceding
+    // def. nextTok was computed at extract time (token-local feature),
+    // so no join back to the sentence table is needed.
+    val callees = m.filter($"entType" === "identifier" && $"nextTok" === "(")
       .select($"docId".as("cdoc"), $"sentId".as("csent"), $"start",
         $"canonical".as("calleeC"), $"linkScore".as("score"))
     val callJoin = callees.join(funcs,
@@ -98,5 +97,70 @@ object TripleEmit {
   def asTriples(df: DataFrame): Dataset[Triple] = {
     import df.sparkSession.implicits._
     df.as[Triple]
+  }
+
+  /** Canonical mention row (LinkedMention + post-CC canonical id). */
+  final case class CanonMention(docId: String, sentId: Int, start: Int,
+      end: Int, entType: String, surface: String, entity: String,
+      linkScore: Double, nextTok: String, canonical: String)
+
+  /** Fused scale path: ONE shuffle (groupByKey on docId) + a per-doc
+    * in-memory pass computing all five predicates — equivalent to
+    * [[emit]] (asserted in tests) but consumes the mention stream once
+    * with no cache and no 5-branch union, so throughput scales with
+    * cores. A document's mentions always fit in memory (files are
+    * line-bounded), which is what makes the per-group pass safe at
+    * 100 TB. */
+  def emitFused(canonMentions: Dataset[CanonMention]): Dataset[Triple] = {
+    import canonMentions.sparkSession.implicits._
+    canonMentions.groupByKey(_.docId).flatMapGroups { (docId, it) =>
+      val ms = it.toArray
+      val funcs = ms.filter(_.entType == "function").sortBy(_.sentId)
+      val fnSents = funcs.map(_.sentId)
+      val acc = scala.collection.mutable.HashMap[(String, String, String), Double]()
+      def add(s: String, p: String, o: String, sc: Double): Unit = {
+        val k = (s, p, o)
+        val old = acc.getOrElse(k, Double.NegativeInfinity)
+        if (sc > old) acc(k) = sc
+      }
+      // nearest function strictly before/after a line (binary search)
+      def fnBefore(sent: Int): Option[CanonMention] = {
+        var lo = 0; var hi = fnSents.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (fnSents(mid) < sent) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        if (ans >= 0) Some(funcs(ans)) else None
+      }
+      def fnAfter(sent: Int): Option[CanonMention] = {
+        var lo = 0; var hi = fnSents.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (fnSents(mid) > sent) { ans = mid; hi = mid - 1 } else lo = mid + 1
+        }
+        if (ans >= 0) Some(funcs(ans)) else None
+      }
+      // type_ref lookup by (sentId, start)
+      val typeAt = ms.iterator.filter(_.entType == "type_ref")
+        .map(t => (t.sentId.toLong << 16 | t.start) -> t).toMap
+      ms.foreach { m =>
+        m.entType match {
+          case "function" => add(docId, "defines_symbol", m.canonical, m.linkScore)
+          case "api_symbol" => add(docId, "imports", m.canonical, m.linkScore)
+          case "identifier" =>
+            typeAt.get(m.sentId.toLong << 16 | (m.end + 1)).foreach { t =>
+              add(m.canonical, "has_type", t.canonical, m.linkScore)
+            }
+            if (m.nextTok == "(")
+              fnBefore(m.sentId).foreach(f =>
+                add(f.canonical, "calls", m.canonical, m.linkScore))
+          case "doc_entity" =>
+            fnAfter(m.sentId).foreach(f =>
+              add(f.canonical, "documented_as", m.canonical, m.linkScore))
+          case _ => ()
+        }
+      }
+      acc.iterator.map { case ((s, p, o), sc) => Triple(s, p, o, docId, sc) }
+    }
   }
 }

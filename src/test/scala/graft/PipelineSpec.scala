@@ -44,6 +44,23 @@ class PipelineSpec extends SparkSpec {
     assert(mm.p >= 0.95 && mm.r >= 0.95, s"mentions off: $mm")
   }
 
+  test("fused triple emitter == relational 5-branch emitter") {
+    val a = Pipeline.run(spark, 120, relationalEmit = false).triples
+      .select("subj", "pred", "obj", "docId")
+      .collect().map(_.toSeq).toSet
+    val b = Pipeline.run(spark, 120, relationalEmit = true).triples
+      .select("subj", "pred", "obj", "docId")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("mentions are unique per span (no dedup shuffle needed)") {
+    import spark.implicits._
+    val m = graft.extract.Extract.run(spark, 100)
+    val keys = Seq("docId", "sentId", "start", "end", "entType")
+    assert(m.count() == m.dropDuplicates(keys).count())
+  }
+
   test("linking resolves snake_case call-site aliases") {
     import spark.implicits._
     val st = Pipeline.run(spark, 60)

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.TopK
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Physical-plan shape assertions: the optimizations we rely on at
+  * 100 TB must actually appear in the plan, not just in comments. */
+class PlanSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and column pruning reach the parquet scan") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val q = li.filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"),
+      s"no pushed filter in:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan not pruned to 2 columns:\n$p")
+  }
+
+  test("dimension joins are broadcast, not shuffled") {
+    val p = plan(graft.queries.RelationalQueries.all("eval_join")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("linking is a single broadcast join - no mention shuffle") {
+    import spark.implicits._
+    val m = graft.extract.Extract.run(spark, 30)
+    val linked = graft.link.Linker.link(m)
+    val p = plan(linked.toDF())
+    assert(p.contains("BroadcastHashJoin"))
+    // the only Exchange allowed is the extract repartition + broadcast
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 shuffle (extract repartition), got $shuffles:\n$p")
+  }
+
+  test("whole-stage codegen covers the relational operators") {
+    val df = graft.queries.RelationalQueries.all("q1_agg")(spark, dir)
+    df.collect() // let AQE finalize the plan
+    val p = plan(df)
+    // "*(n)" is the compact WholeStageCodegen marker in plan toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p.take(1500))
+  }
+
+  test("topk aggregator == window topk, with map-side partial aggregation") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_suppkey").cast("long").as("group"),
+        col("l_extendedprice").as("score"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+    val viaAgg = TopK.topKPerGroup(li, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("group"))
+      .orderBy(desc("score"), asc("id"))
+    val viaWindow = li.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).select(col("group"), col("rank"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+    // partial aggregation (ObjectHashAggregate x2: partial + final)
+    val p = plan(TopK.topKPerGroup(li, 3))
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(p).length >= 2,
+      s"no two-phase aggregation:\n$p")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.extract.Extract
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming parity + stateful ops, driven synchronously via the
+  * memory sink (spark_guide local-smoke pattern). */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming extract == batch extract on the same files") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("stream-src").toString
+    Extract.corpus(spark, 40).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema).parquet(tmp)
+      .as[graft.core.SourceFileHashed]
+    val q = StreamingPipeline.extractStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("ment")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ment")
+      .select("docId", "sentId", "start", "end", "entType")
+      .collect().map(_.toSeq).toSet
+    val batch = Extract.mentions(Extract.sentences(Extract.corpus(spark, 40)))
+      .select("docId", "sentId", "start", "end", "entType")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("watermarked windowed aggregation over the events table") {
+    val tmp = Files.createTempDirectory("stream-ev").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+    val q = StreamingPipeline.windowedEventCounts(stream).writeStream
+      .outputMode("append").format("memory").queryName("winagg")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits only watermark-closed windows; compare against
+    // the batch equivalent restricted to closed windows
+    val got = spark.table("winagg")
+    val batch = StreamingPipeline.windowedEventCounts(ev)
+    assert(got.count() > 0)
+    val j = got.join(batch, Seq("w_start", "event_type"))
+      .filter(got("n") =!= batch("n")).count()
+    assert(j == 0, "streamed window counts must match batch")
+  }
+
+  test("gap sessionization with flatMapGroupsWithState") {
+    import spark.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000)
+    val evs = Seq(
+      StreamingPipeline.Ev(1, ts(0), "a"),
+      StreamingPipeline.Ev(1, ts(1), "b"),
+      StreamingPipeline.Ev(1, ts(30), "c"), // gap > 10min -> new session
+      StreamingPipeline.Ev(2, ts(5), "a")).toDS()
+    val sessions = StreamingPipeline.sessionize(evs, gapMs = 10 * 60000)
+      .collect()
+    // only CLOSED sessions are emitted (the open tail stays in state)
+    assert(sessions.toSet == Set(
+      StreamingPipeline.Session(1, 0, 60000, 2)))
+  }
+}
