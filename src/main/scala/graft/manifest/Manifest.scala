@@ -43,12 +43,23 @@ object ResumableStage {
     * of buckets actually computed (0 on a fully-committed restart). */
   def run(spark: SparkSession, stage: String, snapshotId: String,
       input: DataFrame, nBuckets: Int, outPath: String,
-      manifestPath: String): Int = {
+      manifestPath: String): Int =
+    runWith(spark, stage, snapshotId, nBuckets, outPath, manifestPath) {
+      todo => input.filter(col("bucket").isin(todo: _*))
+    }
+
+  /** Like [[run]], but `compute(todo)` builds the pending rows — this
+    * lets the caller push the bucket predicate below expensive stages
+    * (e.g. filter the INPUT FILES by bucket before the extraction
+    * kernel runs, so a restart never re-extracts committed buckets). */
+  def runWith(spark: SparkSession, stage: String, snapshotId: String,
+      nBuckets: Int, outPath: String, manifestPath: String)(
+      compute: Seq[Int] => DataFrame): Int = {
     import spark.implicits._
     val done = committed(spark, manifestPath, stage, snapshotId)
     val todo = (0 until nBuckets).filterNot(done.contains)
     if (todo.isEmpty) return 0
-    val pending = input.filter($"bucket".isin(todo: _*))
+    val pending = compute(todo)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pending.write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(outPath)

@@ -204,7 +204,73 @@ object RelationalQueries {
       .toDF("correct", "npred", "ngold", "p", "r", "f1")
   }
 
+  // S1-family: JSON field extraction from a string column
+  private val jsonExtract: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    ev.select(col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  // SET3-family: anti-join (NOT EXISTS)
+  private val antiJoin: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // P6-family: first-subword selection (ce_mask analog,
+  // ref data_util.py:139-296 + text_encoder.py:201-209)
+  private val firstSubword: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("first_sub",
+        regexp_extract(col("word"), "^[A-Za-z]+|^[0-9]+|^.", 0))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct(col("first_sub")).as("n_first_subs"))
+      .orderBy(col("doc_id"))
+  }
+
+  // J4-family: exact token-sequence key join (ref align_genia.py:7-17:
+  // '|||||'.join(tokens) hash key)
+  private val tokenPrefixJoin: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val keyed = docs.select(col("doc_id"),
+      concat_ws("|||", slice(split(col("text"), " "), 1, 3)).as("key"))
+    keyed.as("a").join(keyed.as("b"),
+      col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.key").as("key"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // F11/A2-family: char explode + histogram, deterministic top-20
+  private val charHistogram: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val chars = docs.select(
+      explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+      .groupBy(col("ch")).agg(count(lit(1)).as("n"))
+    chars.withColumn("rk",
+      row_number().over(Window.orderBy(col("n").desc, col("ch"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("ch"), col("n"))
+      .orderBy(col("rk"))
+  }
+
   val all: Map[String, Q] = Map(
+    "json_extract" -> jsonExtract,
+    "anti_join" -> antiJoin,
+    "first_subword" -> firstSubword,
+    "token_prefix_join" -> tokenPrefixJoin,
+    "char_histogram" -> charHistogram,
     "q1_agg" -> q1Agg,
     "eval_join" -> evalJoin,
     "topk_window" -> topkWindow,
@@ -228,6 +294,37 @@ object RelationalQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "first_subword" ->
+      """SELECT doc_id, count(*) AS n_words,
+        |  count(DISTINCT regexp_extract(word, '^[A-Za-z]+|^[0-9]+|^.')) AS n_first_subs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |      FROM documents)
+        |WHERE length(word) > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "token_prefix_join" ->
+      """WITH k AS (SELECT doc_id,
+        |  array_to_string(string_split(text, ' ')[1:3], '|||') AS key
+        |  FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.key AS key
+        |FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin,
+    "char_histogram" ->
+      """SELECT rk, ch, n FROM (
+        |  SELECT ch, count(*) AS n,
+        |    row_number() OVER (ORDER BY count(*) DESC, ch) AS rk
+        |  FROM (SELECT unnest(regexp_extract_all(text, '.')) AS ch
+        |        FROM documents)
+        |  GROUP BY ch)
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

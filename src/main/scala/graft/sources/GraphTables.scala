@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-LAYOUT graph tables (no Iceberg jars in the sandbox —
+  * SURVEY §7.0): partitioned parquet + a snapshot manifest table,
+  * matching the north-star's "partitioned Iceberg graph tables
+  * bucketed by canonical-entity hash".
+  *
+  * Layout: `path/data/pred=<p>/bucket=<b>/` parquet files
+  *  - partition column `pred`: per-predicate partition PRUNING — a
+  *    query over `calls` edges never touches `documented_as` files
+  *    (asserted in PlanSpec);
+  *  - `bucket` = hash(subj) % nBuckets: co-locates each canonical
+  *    entity's out-edges, so entity-keyed reads touch one bucket and
+  *    same-bucket joins between graph tables can skip the shuffle;
+  *  - `path/manifest`: one row per snapshot with row counts + content
+  *    hash — the read side can verify integrity and pick a snapshot.
+  */
+object GraphTables {
+
+  val NumBuckets = 16
+
+  def bucketCol(subj: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(subj), lit(NumBuckets)).cast("int")
+
+  def write(triples: DataFrame, path: String, snapshotId: String): Unit = {
+    val spark = triples.sparkSession
+    val withB = triples.withColumn("bucket", bucketCol(col("subj")))
+    withB.write.mode(SaveMode.Overwrite)
+      .partitionBy("pred", "bucket").parquet(s"$path/data")
+    val stats = withB
+      .withColumn("h", xxhash64(col("subj"), col("pred"), col("obj"), col("docId")))
+      .agg(count(lit(1)).as("rowCount"),
+        format_string("%016x", coalesce(expr("bit_xor(h)"), lit(0L)))
+          .as("contentHash"))
+      .withColumn("snapshotId", lit(snapshotId))
+      .withColumn("committedAt", lit(System.currentTimeMillis()))
+    stats.write.mode(SaveMode.Append).parquet(s"$path/manifest")
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/data")
+
+  def latestSnapshot(spark: SparkSession, path: String): Option[String] = {
+    val m = spark.read.parquet(s"$path/manifest")
+    m.orderBy(col("committedAt").desc).select(col("snapshotId"))
+      .limit(1).collect().headOption.map(_.getString(0))
+  }
+}
