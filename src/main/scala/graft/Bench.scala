@@ -62,8 +62,11 @@ object Bench {
     val skipHeadline = sys.env.contains("SPARK_GRAFT_SKIP_HEADLINE")
     val corpusPath = s"/tmp/graft_bench_corpus_$scaleFiles"
 
-    // 1: headline queries at `cpus`
+    // 1: headline queries at `cpus` (after a JIT/codegen warm-up so
+    // first-position queries aren't charged for kernel compilation)
     var spark = session(cpus, "graft-bench")
+    Pipeline.run(spark, 2000).triples.count()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val qTimes = (if (skipHeadline) Seq.empty[String] else headline).map { n =>
       val (_, t) = time {
         try SparkEntry.queries(n)(spark, sfDir).count()

@@ -265,7 +265,21 @@ object RelationalQueries {
       .orderBy(col("rk"))
   }
 
+  // F6-family, custom-Generator variant: same semantics as span_enum
+  // but via the native `spans` UDTF (graft.functions.SpanGen)
+  private val spanEnumGen: Q = (s, d) => {
+    graft.functions.SpanFunctions.register(s)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        least(size(split(col("text"), " ")), lit(12)).as("n"))
+    docs.selectExpr("doc_id", "n", "spans(n, 12) AS (start, end)")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "span_enum_gen" -> spanEnumGen,
     "json_extract" -> jsonExtract,
     "anti_join" -> antiJoin,
     "first_subword" -> firstSubword,
@@ -294,6 +308,11 @@ object RelationalQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "span_enum_gen" ->
+      """SELECT doc_id, n, n * (n + 1) / 2 AS n_spans FROM (
+        |  SELECT doc_id,
+        |    CAST(least(length(string_split(text, ' ')), 12) AS INT) AS n
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
     "json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
