@@ -65,8 +65,10 @@ object Bench {
     // 1: headline queries at `cpus` (after a JIT/codegen warm-up so
     // first-position queries aren't charged for kernel compilation)
     var spark = session(cpus, "graft-bench")
-    Pipeline.run(spark, 2000).triples.count()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    if (!skipHeadline) {
+      Pipeline.run(spark, 2000).triples.count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    }
     val qTimes = (if (skipHeadline) Seq.empty[String] else headline).map { n =>
       val (_, t) = time {
         try SparkEntry.queries(n)(spark, sfDir).count()

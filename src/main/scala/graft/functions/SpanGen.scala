@@ -24,6 +24,18 @@ case class SpanGen(n: Expression, maxLen: Expression)
 
   override def children: Seq[Expression] = Seq(n, maxLen)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = children.forall(c => c.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"spans(n, maxLen) requires integral arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+
   override def elementSchema: StructType = StructType(Seq(
     StructField("start", IntegerType, nullable = false),
     StructField("end", IntegerType, nullable = false)))
@@ -57,5 +69,9 @@ object SpanFunctions {
   /** Register `spans` for SQL/selectExpr use in this session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "spans", exprs => SpanGen(exprs.head, exprs(1)), "scala_udf")
+      "spans", { exprs =>
+        require(exprs.length == 2,
+          s"spans(n, maxLen) takes 2 arguments, got ${exprs.length}")
+        SpanGen(exprs.head, exprs(1))
+      }, "scala_udf")
 }

@@ -307,12 +307,15 @@ object RelationalQueries {
       |  FROM orders)
       |""".stripMargin
 
+  // shared by span_enum and span_enum_gen (same semantics by design)
+  private val spanEnumOracle: String =
+    """SELECT doc_id, n, CAST(n * (n + 1) / 2 AS BIGINT) AS n_spans FROM (
+      |  SELECT doc_id,
+      |    CAST(least(length(string_split(text, ' ')), 12) AS INT) AS n
+      |  FROM documents) ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "span_enum_gen" ->
-      """SELECT doc_id, n, n * (n + 1) / 2 AS n_spans FROM (
-        |  SELECT doc_id,
-        |    CAST(least(length(string_split(text, ' ')), 12) AS INT) AS n
-        |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "span_enum_gen" -> spanEnumOracle,
     "json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -337,7 +340,7 @@ object RelationalQueries {
         |FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin,
     "char_histogram" ->
-      """SELECT rk, ch, n FROM (
+      """SELECT CAST(rk AS INT) AS rk, ch, n FROM (
         |  SELECT ch, count(*) AS n,
         |    row_number() OVER (ORDER BY count(*) DESC, ch) AS rk
         |  FROM (SELECT unnest(regexp_extract_all(text, '.')) AS ch
@@ -356,7 +359,8 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "topk_window" ->
-      """SELECT * FROM (
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(rn AS INT) AS rn FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |    row_number() OVER (PARTITION BY l_suppkey
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
@@ -410,11 +414,7 @@ object RelationalQueries {
     "mention_format" -> (spansCte +
       """SELECT id, printf('%d,%d grp%d', s, e + 1, grp) AS mention
         |FROM spans WHERE id % 50 = 0 ORDER BY id""".stripMargin),
-    "span_enum" ->
-      """SELECT doc_id, n, n * (n + 1) / 2 AS n_spans FROM (
-        |  SELECT doc_id,
-        |    CAST(least(length(string_split(text, ' ')), 12) AS INT) AS n
-        |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "span_enum" -> spanEnumOracle,
     "prf_agg" ->
       """WITH pred AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |              WHERE l_quantity > 25),

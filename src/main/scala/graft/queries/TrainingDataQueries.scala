@@ -164,7 +164,7 @@ object TrainingDataQueries {
 
   private val langIdOracle: String = {
     val hits = TextOps.langSets.map { case (l, set) =>
-      s"len(list_filter(string_split(text, ' '), w -> list_contains(${inList(set)}, w))) AS hits_$l"
+      s"CAST(len(list_filter(string_split(text, ' '), w -> list_contains(${inList(set)}, w))) AS INT) AS hits_$l"
     }.mkString(",\n  ")
     val langs = TextOps.langSets.map(_._1)
     val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
@@ -202,7 +202,7 @@ object TrainingDataQueries {
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "ann_topk" ->
-      """SELECT query_id, rank, neighbor_id FROM (
+      """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
@@ -212,7 +212,7 @@ object TrainingDataQueries {
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "embed_pairs" ->
-      """SELECT rank, id1, id2 FROM (
+      """SELECT CAST(rank AS INT) AS rank, id1, id2 FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
         |    row_number() OVER (
         |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],

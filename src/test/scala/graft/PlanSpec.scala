@@ -68,3 +68,42 @@ class PlanSpec extends SparkSpec {
       s"no two-phase aggregation:\n$p")
   }
 }
+
+/** Pipeline plan shape + held-out parity at a larger slice. */
+class PipelinePlanSpec extends SparkSpec {
+
+  test("hot pipeline has exactly 2 shuffles (extract repartition + emit group)") {
+    val st = Pipeline.run(spark, 50)
+    val p = st.triples.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 2, s"expected 2 shuffles, got $shuffles:\n${p.take(3000)}")
+  }
+
+  test("runFromTable prunes the parquet scan to the needed columns") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("scan").toString
+    graft.extract.Extract.corpus(spark, 20).write.mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    // a projection that only needs repo+path must not read content
+    val df = spark.read.parquet(tmp).select("repo", "path")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<repo:string,path:string>"), p.take(1200))
+  }
+
+  test("held-out file range: distributed == twin == gold (P=R=1)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // held-out ids far from every other suite's range
+    val lo = 900000; val n = 2000
+    val dist = spark.range(lo, lo + n)
+      .map(id => graft.core.CorpusGen.file(id).source)
+      .transform(ds => graft.extract.Extract.mentionsFused(ds)).toDF()
+    val twin = graft.extract.ReferenceScorer.mentions(lo until (lo + n)).toDF()
+    val m = graft.evalm.StrictMetric.prf(dist, twin, broadcastGold = false)
+    assert(m.p == 1.0 && m.r == 1.0, s"twin parity: $m")
+    val gold = spark.range(lo, lo + n)
+      .flatMap(id => graft.core.CorpusGen.file(id).mentions).toDF()
+    val mg = graft.evalm.StrictMetric.prf(dist, gold, broadcastGold = false)
+    assert(mg.p == 1.0 && mg.r == 1.0, s"gold parity: $mg")
+  }
+}
