@@ -56,7 +56,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scaleFiles = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILES", "160000").toLong
+    val scaleFiles = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILES", "320000").toLong
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "4").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val skipHeadline = sys.env.contains("SPARK_GRAFT_SKIP_HEADLINE")
