@@ -116,6 +116,78 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** IVF (inverted-file) ANN: deterministic k-means coarse quantizer
+    * trained distributively (fixed seed centroids from hashed picks,
+    * fixed iteration count — no Date/entropy), then search only the
+    * `nProbe` nearest centroid cells. The classic scale path when
+    * hyperplane LSH recall is too angle-sensitive: cells adapt to the
+    * data distribution. Centroids are a tiny dimension table —
+    * broadcast both for assignment and probing. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 8, nProbe: Int = 2, iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])]
+    // deterministic init: the nCells vectors with smallest md5-ish hash
+    var centroids: Array[Array[Double]] = vecs
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(nCells)
+      .select("v").as[Seq[Double]].collect().map(_.toArray)
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - cs(c)(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = vecs.map { case (_, v) =>
+        (nearest(v.toArray, bc.value), v.toArray, 1L)
+      }.groupByKey(_._1).reduceGroups { (a, b) =>
+        (a._1, a._2.zip(b._2).map(x => x._1 + x._2), a._3 + b._3)
+      }.map { case (c, (_, s, n)) => (c, s, n) }
+        .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      centroids = centroids.indices.map { c =>
+        sums.get(c).map { case (s, n) => s.map(_ / n) }.getOrElse(centroids(c))
+      }.toArray
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    def cellDist(v: Array[Double], cs: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j) - cs(j); d += t * t; j += 1 }
+      d
+    }
+    // candidates: one row per vector, assigned to its nearest cell
+    val assigned = vecs.map { case (id, v) =>
+      (id, v, nearest(v.toArray, bc.value))
+    }.toDF("neighbor_id", "cv", "cell")
+    // queries: one row per (query, probed cell)
+    val q = emb.filter(queryPred)
+      .select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        val va = v.toArray
+        bc.value.indices
+          .sortBy(c => (cellDist(va, bc.value(c)), c))
+          .take(nProbe).map(c => (id, v, c))
+      }.toDF("query_id", "qv", "cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(q).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Embedding-cosine near-dup: globally top-n most-similar pairs among
     * a sampled query side (id % sampleMod == 0) vs all. */
   def topPairs(emb: DataFrame, sampleMod: Int, topN: Int): DataFrame = {

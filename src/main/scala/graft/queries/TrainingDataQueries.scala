@@ -55,6 +55,10 @@ object TrainingDataQueries {
     SimilarityOps.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)
       .orderBy(col("query_id"), col("rank"))
 
+  private val annIvf: Q = (s, d) =>
+    SimilarityOps.ivfTopK(emb(s, d), col("vec_id") < 10, 5)
+      .orderBy(col("query_id"), col("rank"))
+
   private val annLsh: Q = (s, d) =>
     SimilarityOps.lshTopK(emb(s, d), col("vec_id") < 10, 5)
       .orderBy(col("query_id"), col("rank"))
@@ -80,6 +84,7 @@ object TrainingDataQueries {
     "dedup_simhash" -> dedupSimhash,
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "embed_pairs" -> embedPairs,
     "mm_features" -> mmFeatures)
 

@@ -63,6 +63,19 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"ANN recall $recall")
   }
 
+  test("IVF ANN recall@5 >= 0.3 vs brute force (nProbe=2 of 8 cells)") {
+    val bf = SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilarityOps.ivfTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall $recall")
+    // deterministic across invocations
+    val ivf2 = SimilarityOps.ivfTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf == ivf2)
+  }
+
   test("brute-force top-k is the true top-k (spot check vs local compute)") {
     val vecs = emb.collect().map { r =>
       r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
