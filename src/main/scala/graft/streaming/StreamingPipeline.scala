@@ -50,6 +50,49 @@ object StreamingPipeline {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming ingest -> triples: foreachBatch runs the SAME batch
+    * pipeline stages per micro-batch (north-star §2.9 extension:
+    * "idempotent per-partition writes + a manifest table, foreachBatch
+    * if a streaming ingest is later attached"). Each micro-batch
+    * appends its triples and commits one lineage row (batchId, counts,
+    * content hash); the checkpointLocation gives exactly-once batches,
+    * the manifest gives auditability. */
+  def triplesStream(files: Dataset[SourceFileHashed], outPath: String,
+      manifestPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    files.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[SourceFileHashed], batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions._
+        val ments = graft.extract.Extract.mentionsFused(batch)
+        val linked = graft.link.Linker.link(ments)
+        val canonMap = graft.Pipeline.staticCanonMap(spark)
+        val canon = linked.join(broadcast(canonMap),
+          linked("entity") === canonMap("entity"), "left")
+          .select(linked("*"),
+            coalesce(col("canonical"), linked("entity")).as("canonical"))
+        import spark.implicits._
+        val triples = graft.triples.TripleEmit
+          .emitFused(canon.as[graft.triples.TripleEmit.CanonMention])
+          .toDF().cache()
+        try {
+          triples.write.mode("append").parquet(outPath)
+          val st = triples
+            .withColumn("h", xxhash64(col("subj"), col("pred"),
+              col("obj"), col("docId")))
+            .agg(count(lit(1)), format_string("%016x",
+              coalesce(expr("bit_xor(h)"), lit(0L)))).head()
+          Seq((f"batch$batchId%05d", batchId, st.getLong(0),
+            st.getString(1), System.currentTimeMillis()))
+            .toDF("stage", "batchId", "rowCount", "contentHash", "committedAt")
+            .write.mode("append").parquet(manifestPath)
+        } finally triples.unpersist()
+        ()
+      }
+      .start()
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, startMs: Long, endMs: Long,

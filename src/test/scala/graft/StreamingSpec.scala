@@ -49,6 +49,33 @@ class StreamingSpec extends SparkSpec {
     assert(j == 0, "streamed window counts must match batch")
   }
 
+  test("streaming triples via foreachBatch == batch pipeline + manifest rows") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("stream-kg").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val man = s"$tmp/man"
+    // two chunks arriving as separate files
+    Extract.corpus(spark, 40).write.mode("overwrite").parquet(src)
+    spark.range(40, 80).map(id => graft.core.CorpusGen.file(id).source)
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.option("maxFilesPerTrigger", "3")
+      .schema(schema).parquet(src).as[graft.core.SourceFileHashed]
+    val q = StreamingPipeline.triplesStream(stream, out, man, s"$tmp/ckpt")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("subj", "pred", "obj", "docId")
+      .collect().map(_.toSeq).toSet
+    val batch = Pipeline.run(spark, 80).triples
+      .select("subj", "pred", "obj", "docId")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // one manifest row per micro-batch; counts add up
+    val m = spark.read.parquet(man)
+    assert(m.count() >= 2)
+    assert(m.agg(org.apache.spark.sql.functions.sum("rowCount"))
+      .head().getLong(0) == spark.read.parquet(out).count())
+  }
+
   test("gap sessionization with flatMapGroupsWithState") {
     import spark.implicits._
     def ts(m: Long) = new java.sql.Timestamp(m * 60000)
