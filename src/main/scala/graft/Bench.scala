@@ -117,9 +117,12 @@ object Bench {
         s""""scaling":$scJson}"""
     println(line)
 
-    // append measured numbers for BASELINE.md's "Measured" section
+    // append measured numbers for BASELINE.md's "Measured" section,
+    // and persist the JSON line itself so the driver can parse it from
+    // a file even if stdout gets log-prefixed.
     try {
       new java.io.File("BENCH").mkdirs()
+      Files.writeString(Paths.get("BENCH/bench_line.json"), line + "\n")
       Files.write(Paths.get("BENCH/BASELINE.md"),
         (s"| ${java.time.Instant.now()} | files=$scaleFiles " +
           s"| tps_local$scaleN=${tps4.round} | tps_local${4*scaleN}=${tps16.round} " +

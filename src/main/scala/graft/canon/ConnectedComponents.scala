@@ -54,7 +54,9 @@ object ConnectedComponents {
           (col("nmin").isNotNull && col("nmin") < col("component"))
             .cast("long").as("chg"))
         .localCheckpoint()
-      changed = next.agg(sum(col("chg"))).head().getLong(0)
+      // coalesce: sum over zero rows is null (empty edge table)
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+        .head().getLong(0)
       labels = next.drop("chg")
       iter += 1
     }

@@ -30,7 +30,12 @@ object ResumableStage {
   def committed(spark: SparkSession, manifestPath: String, stage: String,
       snapshotId: String): Set[Int] = {
     import spark.implicits._
-    if (!new java.io.File(manifestPath).exists()) Set.empty
+    // Probe via the Hadoop FileSystem of the path, not java.io.File —
+    // on HDFS/S3 a local-file probe always says "missing" and a restart
+    // would silently recompute every bucket.
+    val p = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
     else spark.read.parquet(manifestPath)
       .filter($"stage" === stage && $"snapshotId" === snapshotId)
       .select($"bucket").distinct()
@@ -63,9 +68,17 @@ object ResumableStage {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pending.write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(outPath)
-    // per-bucket stats AFTER the data is durable -> commit rows
-    val stats = pending
-      .withColumn("h", xxhash64(struct(pending.columns.map(col): _*)))
+    // per-bucket stats come from the data ACTUALLY WRITTEN (read back
+    // from outPath) — the pipeline executes exactly once per run, and
+    // the manifest fingerprints what is durable, not a recomputation.
+    // Column order is canonicalized (sorted names) so the fingerprint is
+    // stable across the write schema vs the read-back schema (partition
+    // columns move to the end on read).
+    val written = spark.read.parquet(outPath)
+      .filter($"bucket".isin(todo: _*))
+    val dataCols = written.columns.filter(_ != "bucket").sorted
+    val stats = written
+      .withColumn("h", xxhash64(struct(dataCols.map(col): _*)))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("rowCount"),
         format_string("%016x",

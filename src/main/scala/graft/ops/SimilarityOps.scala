@@ -189,16 +189,26 @@ object SimilarityOps {
   }
 
   /** Embedding-cosine near-dup: globally top-n most-similar pairs among
-    * a sampled query side (id % sampleMod == 0) vs all. */
+    * a sampled query side (id % sampleMod == 0) vs all.
+    *
+    * Scale shape: `orderBy(...).limit(n)` plans as
+    * TakeOrderedAndProject — every partition keeps a local n-row heap
+    * and the driver merges n rows per partition. An unpartitioned
+    * `row_number()` window here would instead shuffle EVERY candidate
+    * pair into one partition (the round-1 scale-killer; asserted fixed
+    * in PlanSpec). The tiny rank window afterwards runs over exactly
+    * `topN` already-collected rows. */
   def topPairs(emb: DataFrame, sampleMod: Int, topN: Int): DataFrame = {
     val q = emb.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("id1"), dvec(col("embedding")).as("v1"))
     val c = emb.select(col("vec_id").as("id2"), dvec(col("embedding")).as("v2"))
-    val w = Window.orderBy(desc("cos"), asc("id1"), asc("id2"))
-    broadcast(q).join(c, col("id1") < col("id2"))
+    val top = broadcast(q).join(c, col("id1") < col("id2"))
       .withColumn("cos", cosine(col("v1"), col("v2")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topN)
+      .select(col("cos"), col("id1"), col("id2"))
+      .orderBy(desc("cos"), asc("id1"), asc("id2"))
+      .limit(topN)
+    val w = Window.orderBy(desc("cos"), asc("id1"), asc("id2"))
+    top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("id1"), col("id2"))
   }
 }

@@ -187,15 +187,24 @@ object RelationalQueries {
       .orderBy(col("doc_id"))
   }
 
-  // A1+J1: strict P/R/F1 computed relationally (ref evaluation.py:69-103)
+  // A1+J1: strict P/R/F1 computed relationally (ref evaluation.py:69-103).
+  // ONE action over a full-outer join — pred/gold each computed exactly
+  // once (the production path, StrictMetric.prf, uses the same shape).
   private val prfAgg: Q = (s, d) => {
     val li = t(s, d, "lineitem")
     val pred = li.filter(col("l_quantity") > 25)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .withColumn("isP", lit(1L))
     val gold = li.filter(col("l_discount") > 0.05)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val correct = pred.join(gold, Seq("l_orderkey", "l_partkey")).count()
-    val np = pred.count(); val ng = gold.count()
+      .withColumn("isG", lit(1L))
+    val row = pred.join(gold, Seq("l_orderkey", "l_partkey"), "full_outer")
+      .agg(
+        sum(when(col("isP") === 1 && col("isG") === 1, 1L).otherwise(0L)),
+        sum(coalesce(col("isP"), lit(0L))),
+        sum(coalesce(col("isG"), lit(0L)))).head()
+    val correct = row.getLong(0)
+    val np = row.getLong(1); val ng = row.getLong(2)
     import s.implicits._
     val p = if (np == 0) 0.0 else correct.toDouble / np
     val r = if (ng == 0) 0.0 else correct.toDouble / ng

@@ -56,10 +56,13 @@ object TripleEmit {
       .select($"subjC".as("subj"), lit("has_type").as("pred"),
         $"objC".as("obj"), $"idoc".as("docId"), $"score")
 
-    // function mentions per doc, by line — the "definition timeline"
+    // function mentions per doc, by line — the "definition timeline".
+    // fnStart rides along as a deterministic tiebreaker: two function
+    // mentions can share a sentId, and the nearest-def windows must pick
+    // the same one as emitFused's binary search.
     val funcs = m.filter($"entType" === "function")
       .select($"docId".as("fdoc"), $"sentId".as("fnSent"),
-        $"canonical".as("fnC"))
+        $"start".as("fnStart"), $"canonical".as("fnC"))
 
     // calls: identifier whose next token is "(" -> nearest preceding
     // def. nextTok was computed at extract time (token-local feature),
@@ -69,8 +72,10 @@ object TripleEmit {
         $"canonical".as("calleeC"), $"linkScore".as("score"))
     val callJoin = callees.join(funcs,
       $"cdoc" === $"fdoc" && $"fnSent" < $"csent")
+    // desc tiebreakers = the LAST element of emitFused's
+    // (sentId, start, canonical)-sorted array with fnSent < csent
     val wPrev = Window.partitionBy($"cdoc", $"csent", $"start")
-      .orderBy($"fnSent".desc)
+      .orderBy($"fnSent".desc, $"fnStart".desc, $"fnC".desc)
     val calls = callJoin.withColumn("rn", row_number().over(wPrev))
       .filter($"rn" === 1)
       .select($"fnC".as("subj"), lit("calls").as("pred"),
@@ -82,8 +87,9 @@ object TripleEmit {
         $"canonical".as("entC"), $"linkScore".as("score"))
     val docJoin = docs.join(funcs,
       $"ddoc" === $"fdoc" && $"fnSent" > $"dsent")
+    // asc tiebreakers = the FIRST sorted element with fnSent > dsent
     val wNext = Window.partitionBy($"ddoc", $"dsent", $"start")
-      .orderBy($"fnSent".asc)
+      .orderBy($"fnSent".asc, $"fnStart".asc, $"fnC".asc)
     val documented = docJoin.withColumn("rn", row_number().over(wNext))
       .filter($"rn" === 1)
       .select($"fnC".as("subj"), lit("documented_as").as("pred"),
@@ -115,7 +121,10 @@ object TripleEmit {
     import canonMentions.sparkSession.implicits._
     canonMentions.groupByKey(_.docId).flatMapGroups { (docId, it) =>
       val ms = it.toArray
-      val funcs = ms.filter(_.entType == "function").sortBy(_.sentId)
+      // total sort: (sentId, start, canonical) so the binary-search pick
+      // at a shared sentId matches the relational windows' tiebreakers
+      val funcs = ms.filter(_.entType == "function")
+        .sortBy(f => (f.sentId, f.start, f.canonical))
       val fnSents = funcs.map(_.sentId)
       val acc = scala.collection.mutable.HashMap[(String, String, String), Double]()
       def add(s: String, p: String, o: String, sc: Double): Unit = {

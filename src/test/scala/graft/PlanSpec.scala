@@ -40,6 +40,13 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 shuffle (extract repartition), got $shuffles:\n$p")
   }
 
+  test("embed_pairs global top-n plans as TakeOrdered, not a one-partition window") {
+    val df = graft.queries.TrainingDataQueries.all("embed_pairs")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"no distributed top-n in:\n${p.take(3000)}")
+  }
+
   test("whole-stage codegen covers the relational operators") {
     val df = graft.queries.RelationalQueries.all("q1_agg")(spark, dir)
     df.collect() // let AQE finalize the plan

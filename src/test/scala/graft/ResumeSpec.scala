@@ -51,4 +51,24 @@ class ResumeSpec extends SparkSpec {
       nBuckets, out, man)
     assert(done3 == 0)
   }
+
+  test("the pending pipeline executes exactly once per resumable run") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("resume1x").toString
+    val acc = spark.sparkContext.longAccumulator("computeRows")
+    val nBuckets = 4
+    val nFiles = 100L
+    ResumableStage.runWith(spark, "extract", "snap1", nBuckets,
+      s"$tmp/out", s"$tmp/manifest") { todo =>
+      graft.extract.Extract.corpus(spark, nFiles)
+        .map { f => acc.add(1); f }
+        .toDF()
+        .withColumn("bucket",
+          pmod(xxhash64(col("repo"), col("path")), lit(nBuckets)).cast("int"))
+        .filter(col("bucket").isin(todo: _*))
+    }
+    // per-bucket stats must come from the written parquet, not from a
+    // second execution of the pending pipeline
+    assert(acc.value == nFiles, s"pipeline ran ${acc.value / nFiles}x")
+  }
 }
