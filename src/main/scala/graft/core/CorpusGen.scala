@@ -110,6 +110,19 @@ object CorpusGen {
       val docLine = emit(docToks)
       mentions += GoldMention(docId, docLine, 2, 3, "doc_entity", ent)
 
+      // --- annotation / decorator line (~40% of functions) ---
+      // Sits DIRECTLY above the def: the mention is only extractable
+      // with cross-line context (the next line must start with `def`),
+      // exercising the reference's context-aware encode (K5,
+      // /root/reference/model/text_encoder.py:316-390).
+      val hasAnn = rng.nextInt(10) < 4
+      val annName =
+        if (hasAnn) Vocab.annots(rng.nextInt(Vocab.annots.size)) else ""
+      if (hasAnn) {
+        val annLine = emit(Vector("@", annName))
+        mentions += GoldMention(docId, annLine, 1, 2, "annotation", annName)
+      }
+
       // --- def line ---
       val fname = Vocab.idents(rng.nextInt(Vocab.idents.size))
       var param = Vocab.idents(rng.nextInt(Vocab.idents.size))
@@ -130,6 +143,9 @@ object CorpusGen {
       triples += GoldTriple(docId, "defines_symbol", canon(fname), docId)
       triples += GoldTriple(canon(param), "has_type", canon(ptype), docId)
       triples += GoldTriple(canon(fname), "documented_as", canon(ent), docId)
+      if (hasAnn)
+        triples += GoldTriple(canon(fname), "documented_as", canon(annName),
+          docId)
 
       // --- body lines: val v = callee(arg) ---
       val nBody = rng.nextInt(3)

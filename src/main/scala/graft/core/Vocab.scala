@@ -47,6 +47,12 @@ object Vocab {
     "plans", "rows", "blocks", "pages", "spans", "tokens", "batches",
     "columns", "tables", "graphs")
 
+  // 8 annotation / decorator names (lowercase, so tagged IDENT; none
+  // collides with an alias-dictionary key — asserted in tests).
+  val annots: Vector[String] = Vector(
+    "deprecated", "memoized", "tailcall", "threadsafe", "inlined",
+    "cachedop", "asyncsafe", "pureop")
+
   // Capitalized words that may open a doc comment but are NOT entities.
   val docStopCaps: Set[String] =
     Set("Uses", "The", "This", "Returns", "A", "An", "It", "See", "Note")

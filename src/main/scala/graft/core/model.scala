@@ -31,12 +31,20 @@ final case class SourceFileHashed(
 final case class Gold(start: Int, end: Int, entType: String)
 
 /** One tokenized sentence (one logical code line).
-  * Analog of the reference JSON record (data_util.py:481-494). */
+  * Analog of the reference JSON record (data_util.py:481-494), INCLUDING
+  * the left/right context sentences: the reference fuses ltokens/rtokens
+  * into every encoding (text_encoder.py:316-390, loaded
+  * data_util.py:484-493); here they are the adjacent non-blank lines
+  * (empty seq = no adjacent line, the reference's None). */
 final case class Sentence(
     docId: String,     // repo/path
     sentId: Int,       // line index within the file
     tokens: Seq[String],
-    pos: Seq[String])  // code-aware tag per token (KW_DEF, IDENT, ...)
+    pos: Seq[String],  // code-aware tag per token (KW_DEF, IDENT, ...)
+    ltokens: Seq[String] = Seq.empty,  // previous adjacent line
+    lpos: Seq[String] = Seq.empty,
+    rtokens: Seq[String] = Seq.empty,  // next adjacent line
+    rpos: Seq[String] = Seq.empty)
 
 /** Extracted typed mention. `end` EXCLUSIVE. `nextTok` is the token
   * right after the span ("" at line end) — a token-local feature
@@ -88,7 +96,7 @@ object TypeDict {
     * per-dataset hardcoded lists in reference data_util.py:93-100. */
   val types: Vector[String] = Vector(
     "identifier", "function", "type_ref", "api_symbol", "doc_entity",
-    "signature")
+    "signature", "annotation")
   val typeToId: Map[String, Int] = types.zipWithIndex.toMap
   val numTypes: Int = types.size
   /** NA / non-entity class id (reference uses num_types as NA,

@@ -62,14 +62,30 @@ object Tokenizer {
   val maxSentLen = 64
 
   /** Content -> sentences. sentId = 0-based line index in the file
-    * (blank lines keep their index but emit no sentence). */
+    * (blank lines keep their index but emit no sentence).
+    *
+    * ltokens/rtokens = the IMMEDIATELY adjacent line's tokens (empty if
+    * that line is blank or absent) — the reference's left/right context
+    * record fields (data_util.py:484-493), which its context-aware
+    * encoder fuses into every sentence encoding
+    * (text_encoder.py:316-390). Adjacency is by raw line index, so a
+    * blank separator deterministically breaks context. */
   def sentences(docId: String, content: String): Seq[Sentence] = {
-    content.split("\n", -1).iterator.zipWithIndex.flatMap {
-      case (line, i) =>
-        val (toks, tags) = tokenizeLine(line)
-        if (toks.isEmpty) None
-        else Some(Sentence(docId, i,
-          toks.take(maxSentLen).toSeq, tags.take(maxSentLen).toSeq))
+    val lines = content.split("\n", -1).map(tokenizeLine)
+    lines.iterator.zipWithIndex.flatMap { case ((toks, tags), i) =>
+      if (toks.isEmpty) None
+      else {
+        val (lt, lg) =
+          if (i > 0) lines(i - 1)
+          else (Array.empty[String], Array.empty[String])
+        val (rt, rg) =
+          if (i < lines.length - 1) lines(i + 1)
+          else (Array.empty[String], Array.empty[String])
+        Some(Sentence(docId, i,
+          toks.take(maxSentLen).toSeq, tags.take(maxSentLen).toSeq,
+          lt.take(maxSentLen).toSeq, lg.take(maxSentLen).toSeq,
+          rt.take(maxSentLen).toSeq, rg.take(maxSentLen).toSeq))
+      }
     }.toSeq
   }
 

@@ -11,7 +11,9 @@ import graft.core.{Mention, Sentence, TypeDict}
   * arithmetic over per-token feature vectors:
   *
   *   x_k   = [tag one-hot ; seeded word-hash embedding]      (dim)
-  *   h_k   = [x_{k-1} ; x_k ; x_{k+1}]   window fusion       (3*dim)
+  *   h_k   = [x_{k-1} ; x_k ; x_{k+1} ; ctxPrev ; ctxNext]   (5*dim)
+  *   (ctxPrev/ctxNext = prev-line last / next-line first token — the
+  *    reference's context-aware encode over ltokens/rtokens, K5)
   *   s1(i,j,r) = b_r + wHead_r·h_i + wTail_r·h_j + single/multi bias
   *             + eps * a_i^T M[i..j] b_j / len                (triaffine)
   *   where a_i = U h_i, b_j = V h_j, M[i..j] = sum_k (W x_k)(W x_k)^T
@@ -42,6 +44,10 @@ object TriaffineScorer extends Serializable {
     val nt: Int = TypeDict.numTypes + 1
     val x = Array.ofDim[Double](MaxN, w.dim)
     val h = Array.ofDim[Double](MaxN, w.hDim)
+    // cross-line context features (K5): prev-line last token,
+    // next-line first token — constant per sentence
+    val cp = new Array[Double](w.dim)
+    val cn = new Array[Double](w.dim)
     val a = Array.ofDim[Double](MaxN, w.rank)
     val b = Array.ofDim[Double](MaxN, w.rank)
     val c = Array.ofDim[Double](MaxN, w.rank)
@@ -108,9 +114,30 @@ object TriaffineScorer extends Serializable {
   final case class ScoredSpan(start: Int, endExcl: Int, typeId: Int,
       score: Double)
 
-  /** Score one sentence -> surviving typed spans. Pure & deterministic
-    * (per-thread scratch state never escapes). */
+  /** Line-local scoring (no cross-line context) — the pre-K5 surface,
+    * still used by property tests and ad-hoc callers. */
   def scoreSentence(tokens: IndexedSeq[String], tags: IndexedSeq[String],
+      w: Weights): Seq[ScoredSpan] =
+    scoreSentence(tokens, tags,
+      IndexedSeq.empty, IndexedSeq.empty, IndexedSeq.empty,
+      IndexedSeq.empty, w)
+
+  /** Fill one per-token feature vector [tag one-hot ; word-hash]. */
+  private def featurize(tok: String, tag: String, out: Array[Double],
+      w: Weights): Unit = {
+    java.util.Arrays.fill(out, 0.0)
+    out(w.tagIdx.getOrElse(tag, w.tagIdx(Weights.PadTag))) = 1.0
+    System.arraycopy(hashEmbed(tok, w), 0, out, w.nTagDims, w.nHashDims)
+  }
+
+  /** Score one sentence -> surviving typed spans. Pure & deterministic
+    * (per-thread scratch state never escapes). ltokens/rtokens are the
+    * adjacent-line context (reference K5, text_encoder.py:316-390):
+    * the previous line's LAST token and the next line's FIRST token
+    * enter every position's fused vector (slots 3/4). */
+  def scoreSentence(tokens: IndexedSeq[String], tags: IndexedSeq[String],
+      ltokens: IndexedSeq[String], ltags: IndexedSeq[String],
+      rtokens: IndexedSeq[String], rtags: IndexedSeq[String],
       w: Weights): Seq[ScoredSpan] = {
     val n = math.min(tokens.length, MaxN)
     if (n == 0) return Nil
@@ -123,12 +150,17 @@ object TriaffineScorer extends Serializable {
     var k = 0
     while (k < n) {
       val x = ws.x(k)
-      java.util.Arrays.fill(x, 0.0)
-      x(w.tagIdx.getOrElse(tags(k), w.tagIdx(Weights.PadTag))) = 1.0
-      System.arraycopy(hashEmbed(tokens(k), w), 0, x, w.nTagDims, w.nHashDims)
+      featurize(tokens(k), tags(k), x, w)
       k += 1
     }
-    // window fusion h_k = [x_{k-1}; x_k; x_{k+1}]
+    // cross-line context features (pad when no adjacent line)
+    if (ltokens.nonEmpty)
+      featurize(ltokens.last, ltags.last, ws.cp, w)
+    else System.arraycopy(ws.pad, 0, ws.cp, 0, w.dim)
+    if (rtokens.nonEmpty)
+      featurize(rtokens.head, rtags.head, ws.cn, w)
+    else System.arraycopy(ws.pad, 0, ws.cn, 0, w.dim)
+    // window fusion h_k = [x_{k-1}; x_k; x_{k+1}; ctxPrev; ctxNext]
     k = 0
     while (k < n) {
       val h = ws.h(k)
@@ -136,6 +168,8 @@ object TriaffineScorer extends Serializable {
       System.arraycopy(ws.x(k), 0, h, w.dim, w.dim)
       System.arraycopy(if (k < n - 1) ws.x(k + 1) else ws.pad, 0, h,
         2 * w.dim, w.dim)
+      System.arraycopy(ws.cp, 0, h, 3 * w.dim, w.dim)
+      System.arraycopy(ws.cn, 0, h, 4 * w.dim, w.dim)
       k += 1
     }
     // triaffine factors + prefix sums of c c^T
@@ -274,7 +308,9 @@ object TriaffineScorer extends Serializable {
   /** Sentence -> mentions (adds surface + type name + next token). */
   def mentions(s: Sentence, w: Weights): Seq[Mention] = {
     val toks = s.tokens.toIndexedSeq
-    scoreSentence(toks, s.pos.toIndexedSeq, w).map { sp =>
+    scoreSentence(toks, s.pos.toIndexedSeq,
+      s.ltokens.toIndexedSeq, s.lpos.toIndexedSeq,
+      s.rtokens.toIndexedSeq, s.rpos.toIndexedSeq, w).map { sp =>
       Mention(s.docId, s.sentId, sp.start, sp.endExcl,
         TypeDict.types(sp.typeId), sp.score,
         toks.slice(sp.start, sp.endExcl).mkString(" "),

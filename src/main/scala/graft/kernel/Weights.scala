@@ -49,7 +49,12 @@ object Weights {
     val nTag = tags.size              // 19
     val nHash = 13
     val dim = nTag + nHash            // 32
-    val hDim = 3 * dim                // 96: [prev ; self ; next]
+    // 160: [prev ; self ; next ; prev-LINE last ; next-LINE first].
+    // Slots 3/4 are the cross-line context channel (reference K5,
+    // text_encoder.py:316-390): the last token of ltokens and the first
+    // token of rtokens enter every position's fused vector. Slots 0-2
+    // keep their offsets, so line-local rules are unaffected.
+    val hDim = 5 * dim
     val rank = 8
     val nt = TypeDict.numTypes + 1    // + NA
 
@@ -59,7 +64,8 @@ object Weights {
     val wSingle = Array.fill(nt)(0.0)
     val wMulti = Array.fill(nt)(0.0)
 
-    // slot: 0 = prev token, 1 = self, 2 = next
+    // slot: 0 = prev token, 1 = self, 2 = next,
+    //       3 = prev-line last token, 4 = next-line first token
     def at(slot: Int, tag: String): Int = slot * dim + tagIdx(tag)
     def t(name: String): Int = TypeDict.typeToId(name)
 
@@ -115,6 +121,19 @@ object Weights {
       wTail(r)(at(2, PEq)) = 10
       wTail(r)(at(2, PColon)) = 10
       wSingle(r) = -100
+    }
+    // --- annotation: i==j, self IDENT, prev '@' (P_OTHER), and the
+    //     NEXT LINE starts with KW_DEF — impossible to decide
+    //     line-locally (the K5 cross-line construct: a decorator /
+    //     annotation binds to the following def). Line-local score
+    //     tops out at -5 < 0 (NA); with context it reaches +10. ---
+    locally {
+      val r = t("annotation")
+      bias(r) = -30
+      wHead(r)(at(1, Ident)) = 15
+      wHead(r)(at(0, POther)) = 10
+      wHead(r)(at(4, KwDef)) = 15
+      wMulti(r) = -100
     }
     // NA row (index numTypes) stays all-zero: score 0 baseline.
 

@@ -81,8 +81,9 @@ object TripleEmit {
       .select($"fnC".as("subj"), lit("calls").as("pred"),
         $"calleeC".as("obj"), $"cdoc".as("docId"), $"score")
 
-    // documented_as: doc_entity -> nearest following function
-    val docs = m.filter($"entType" === "doc_entity")
+    // documented_as: doc_entity / annotation -> nearest following
+    // function (an annotation line sits directly above its def)
+    val docs = m.filter($"entType".isin("doc_entity", "annotation"))
       .select($"docId".as("ddoc"), $"sentId".as("dsent"), $"start",
         $"canonical".as("entC"), $"linkScore".as("score"))
     val docJoin = docs.join(funcs,
@@ -163,7 +164,7 @@ object TripleEmit {
             if (m.nextTok == "(")
               fnBefore(m.sentId).foreach(f =>
                 add(f.canonical, "calls", m.canonical, m.linkScore))
-          case "doc_entity" =>
+          case "doc_entity" | "annotation" =>
             fnAfter(m.sentId).foreach(f =>
               add(f.canonical, "documented_as", m.canonical, m.linkScore))
           case _ => ()

@@ -81,6 +81,55 @@ class CorpusKernelSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("annotation mentions REQUIRE cross-line context (K5)") {
+    val w = Weights.default
+    // find a generated file with an annotation line
+    val g = (0 until 50).map(i => CorpusGen.file(i.toLong))
+      .find(_.mentions.exists(_.entType == "annotation")).get
+    val docId = s"${g.source.repo}/${g.source.path}"
+    val sents = Tokenizer.sentences(docId, g.source.content)
+    val annGold = g.mentions.filter(_.entType == "annotation")
+    assert(annGold.nonEmpty)
+    annGold.foreach { am =>
+      val s = sents.find(_.sentId == am.sentId).get
+      // next line must be the def line — context present
+      assert(s.rpos.headOption.contains(Tags.KwDef))
+      // WITH context: annotation extracted
+      val withCtx = TriaffineScorer.mentions(s, w)
+      assert(withCtx.exists(m => m.entType == "annotation" &&
+        m.start == am.start && m.end == am.end))
+      // WITHOUT context (line-local scoring): invisible — this is what
+      // makes the context channel decision-bearing, not decorative
+      val noCtx = TriaffineScorer.scoreSentence(
+        s.tokens.toIndexedSeq, s.pos.toIndexedSeq, w)
+      assert(!noCtx.exists(sp => TypeDict.types(sp.typeId) == "annotation"),
+        s"annotation extracted line-locally: $noCtx")
+    }
+  }
+
+  test("annotation names collide with no alias-dictionary key") {
+    val aliases = Vocab.aliasRows.map(_._1).toSet
+    Vocab.annots.foreach(a => assert(!aliases.contains(a), a))
+  }
+
+  test("context channel leaves line-local mentions unchanged") {
+    val w = Weights.default
+    (0 until 40).foreach { id =>
+      val g = CorpusGen.file(id.toLong)
+      val docId = s"${g.source.repo}/${g.source.path}"
+      Tokenizer.sentences(docId, g.source.content).foreach { s =>
+        val withCtx = TriaffineScorer.mentions(s, w)
+          .filter(_.entType != "annotation")
+          .map(m => (m.start, m.end, m.entType)).toSet
+        val noCtx = TriaffineScorer.scoreSentence(
+          s.tokens.toIndexedSeq, s.pos.toIndexedSeq, w)
+          .map(sp => (sp.start, sp.endExcl, TypeDict.types(sp.typeId)))
+          .filter(_._3 != "annotation").toSet
+        assert(withCtx == noCtx, s"file=$id sent=${s.sentId}")
+      }
+    }
+  }
+
   test("union-find canonical map merges bridge pairs and hot alias") {
     val c = Vocab.canonicalOf
     // bridge0 connects idents(0) and idents(1)
