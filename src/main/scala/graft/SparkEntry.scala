@@ -9,8 +9,9 @@ import graft.queries.{KgQueries, RelationalQueries, TrainingDataQueries}
   * the driver's parquet tables at `sfDir`; `oracleSql` holds the ANSI
   * SQL DuckDB equivalent for every SQL-expressible entry. KG-pipeline
   * entries run on the deterministic synthesized source-code corpus
-  * (FIXTURES.md) and are covered by ScalaTest parity suites instead of
-  * SQL oracles.
+  * (FIXTURES.md); their oracles are read_parquet selects over the
+  * closed-form gold tables Verify materializes under `outDir/_gold/`
+  * (plus the ScalaTest parity suites).
   */
 object SparkEntry {
 
@@ -24,5 +25,6 @@ object SparkEntry {
     RelationalQueries.all ++ TrainingDataQueries.all ++ KgQueries.all
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ TrainingDataQueries.oracles
+    RelationalQueries.oracles ++ TrainingDataQueries.oracles ++
+      KgQueries.oracles
 }

@@ -2,7 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also materializes the CLOSED-FORM GOLD tables (mentions, triples,
+  * corpus-with-content, canonical map) under `outDir/_gold/` — the
+  * kg_* oracles are DuckDB read_parquet selects over them (KgQueries
+  * .oracles), which turns the non-SQL-expressible kernel pipeline into
+  * hash-compared driver rows. `__OUTDIR__` in any oracle string is
+  * replaced with the absolute outDir before the dump. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -22,6 +29,22 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // closed-form gold for the kg_* oracles (same corpus slice the
+    // kg queries ran on)
+    try {
+      import spark.implicits._
+      val n = graft.queries.KgQueries.nFilesFor(sfDir)
+      def w(df: org.apache.spark.sql.DataFrame, t: String): Unit =
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_gold/$t")
+      w(Pipeline.goldMentions(spark, n), "mentions")
+      w(Pipeline.goldTriples(spark, n), "triples")
+      w(graft.extract.Extract.corpus(spark, n).toDF()
+        .select("repo", "path", "commit", "lang", "content"), "corpus")
+      w(graft.core.Vocab.canonicalOf.toSeq.sortBy(_._1)
+        .toDF("entity", "canonical"), "canon")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] gold materialization failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,8 +57,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUTDIR__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *  - exact: one shuffle on the fingerprint; map-side partial agg.
   *  - jaccard: candidate generation is an equi-join on shared shingles
-  *    (inverted index), NEVER a cross join; the common-shingle count is
-  *    a partial-aggregated groupBy. Hot shingles (stopword trigrams)
-  *    would skew the index join at 100 TB — cap posting-list length or
-  *    drop top-frequency shingles (df cut), as noted inline.
+  *    (inverted index), NEVER a cross join; hot shingles (stopword
+  *    trigrams, boilerplate) are dropped from the index by a document-
+  *    frequency cut (`dfCut`) BEFORE the self-join — without it one hot
+  *    shingle produces a quadratic candidate set at 100 TB. Verification
+  *    is always exact over the full postings.
   *  - minhash: signatures are one groupBy over exploded shingles
   *    (16 mins computed as one aggregate pass); LSH bands turn the
   *    quadratic verification into an equi-join on (band, signature) —
@@ -46,57 +47,25 @@ object DedupOps {
     docs.select(col(idCol).as("doc"),
       explode(ngrams(col(textCol), n)).as("ng"))
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
-    * At 100 TB add a df-cut: filter shingles with document frequency
-    * above a cap before the self-join (drops only stop-shingles that
-    * cannot create high-jaccard pairs on their own). */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol).cache()
-    val n = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
-      col("a.ng") === col("b.ng") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(n.as("n1"), col("d1") === col("n1.doc"))
-      .join(n.as("n2"), col("d2") === col("n2.doc"))
-      .select(col("d1"), col("d2"),
-        (col("c").cast("double") /
-          (col("n1.n") + col("n2.n") - col("c")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
-
-  /** MinHash signature columns mh0..mh15 per doc (single agg pass). */
-  def minhashSignatures(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
-    val x = pmod(md5h60(col("ng")), lit(P30))
-    val aggs = (0 until NumHashes).map { i =>
-      min((x * (2 * i + 1) + (97 + 31 * i)) % PMOD).as(s"mh$i")
+  /** Posting table restricted to index-able shingles: document
+    * frequency <= maxDf. At web scale one hot shingle (stop-trigram,
+    * license boilerplate) otherwise produces a QUADRATIC candidate set
+    * in the inverted-index self-join; the cut drops only shingles so
+    * common they carry no near-dup signal. Verification below always
+    * uses the FULL posting table — the cut only bounds candidate
+    * generation. */
+  def dfCut(sh: DataFrame, maxDf: Long): DataFrame =
+    if (maxDf == Long.MaxValue) sh
+    else {
+      val df = sh.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("ng"))
+      sh.join(df, "ng")
     }
-    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
-  }
 
-  /** MinHash LSH near-dup pairs: band -> candidate equi-join -> exact
-    * Jaccard verification of candidates only. */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * posting table (only candidates' postings are joined). */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol)
-    val bandRows = sigs.select(col("doc"),
-      explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", (0 until RowsPerBand)
-            .map(r => col(s"mh${b * RowsPerBand + r}")): _*).as("sig"))
-      }: _*)).as("bs"))
-      .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cands = bandRows.as("a").join(bandRows.as("b"),
-      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
-      .distinct()
-    // verify candidates with exact jaccard (semi-joined posting lists)
-    val sh = shingles(docs, idCol, textCol).cache()
     val n = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val common = cands
       .join(sh.as("s1"), col("d1") === col("s1.doc"))
@@ -110,6 +79,64 @@ object DedupOps {
         (col("c").cast("double") /
           (col("n1.n") + col("n2.n") - col("c")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Candidate pairs sharing at least one indexed shingle. */
+  def jaccardCandidates(shIdx: DataFrame): DataFrame =
+    shIdx.as("a").join(shIdx.as("b"),
+      col("a.ng") === col("b.ng") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs: inverted-index candidate join
+    * (df-cut postings) + exact verification over the full postings. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = shingles(docs, idCol, textCol).cache()
+    verifyJaccard(jaccardCandidates(dfCut(sh, maxDf)), sh, threshold)
+  }
+
+  /** MinHash signature columns mh0..mh15 from a posting table
+    * (single agg pass). */
+  def minhashSignaturesFromPostings(sh: DataFrame): DataFrame = {
+    val x = pmod(md5h60(col("ng")), lit(P30))
+    val aggs = (0 until NumHashes).map { i =>
+      min((x * (2 * i + 1) + (97 + 31 * i)) % PMOD).as(s"mh$i")
+    }
+    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def minhashSignatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    minhashSignaturesFromPostings(shingles(docs, idCol, textCol))
+
+  /** LSH band rows (doc, band, sig) from signatures. */
+  def lshBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until RowsPerBand)
+            .map(r => col(s"mh${b * RowsPerBand + r}")): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** MinHash LSH near-dup pairs: band -> candidate equi-join -> exact
+    * Jaccard verification of candidates only. ONE posting table is
+    * computed and cached for both the signatures and the verification
+    * pass (round-1 computed the shingle explode twice — it was 31% of
+    * the whole benchmark). Signatures are minhashed over the df-cut
+    * postings; verification uses the full postings. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = shingles(docs, idCol, textCol).cache()
+    val sigs = minhashSignaturesFromPostings(dfCut(sh, maxDf))
+    val bandRows = lshBands(sigs)
+    val cands = bandRows.as("a").join(bandRows.as("b"),
+      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    verifyJaccard(cands, sh, threshold)
   }
 
   /** 32-bit SimHash per doc from distinct-token 60-bit hashes. */

@@ -23,7 +23,7 @@ object Multimodal {
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int)
   final case class MediaFeatures(media_id: Long, kind: String,
-      n_bytes: Int, checksum: Long, features: Array[Float])
+      n_bytes: Int, byte_sum: Long, checksum: Long, features: Array[Float])
 
   /** The seam a real codec implements. */
   trait Decoder extends Serializable {
@@ -71,11 +71,13 @@ object Multimodal {
       it.map { m =>
         val f = dec.decode(m.payload, m.width, m.height)
         var crc = 1469598103934665603L // FNV-1a over payload
+        var bsum = 0L // integer byte sum: SQL-checkable integrity stat
         var i = 0
         while (i < m.payload.length) {
-          crc ^= (m.payload(i) & 0xffL); crc *= 1099511628211L; i += 1
+          val b = m.payload(i) & 0xffL
+          crc ^= b; crc *= 1099511628211L; bsum += b; i += 1
         }
-        MediaFeatures(m.media_id, m.kind, m.payload.length, crc, f)
+        MediaFeatures(m.media_id, m.kind, m.payload.length, bsum, crc, f)
       }
     }
   }

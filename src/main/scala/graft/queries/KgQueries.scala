@@ -8,10 +8,18 @@ import graft.link.Linker
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** KG-pipeline entries (no SQL oracle — the triaffine kernel is not
-  * SQL-expressible; the driver records rows-only checks and the
-  * ScalaTest parity suites carry correctness: pipeline == sequential
-  * twin == closed-form gold). Corpus size scales with the sf dir. */
+/** KG-pipeline entries WITH hard DuckDB oracles.
+  *
+  * The triaffine kernel itself is not SQL-expressible, but its expected
+  * output IS: the corpus gold is closed-form (CorpusGen generates
+  * content and gold together), so [[graft.Verify]] materializes the
+  * gold mentions/triples/corpus/canon tables to parquet under
+  * `outDir/_gold/` and the oracles are DuckDB `read_parquet` selects
+  * over them (`__OUTDIR__` is substituted with the absolute outDir at
+  * dump time). A green row therefore proves the distributed kernel +
+  * linking + canonicalization reproduce the closed-form gold exactly —
+  * the driver-side hard version of the ScalaTest parity suites.
+  * Corpus size scales with the sf dir. */
 object KgQueries {
 
   def nFilesFor(sfDir: String): Long =
@@ -20,6 +28,33 @@ object KgQueries {
     else 150L
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Nearest strictly-enclosing mention per mention (J5 semantics,
+    * reference data_util.py:437-466) over a genuinely nested mention
+    * table (signature strictly contains function/identifier/type_ref).
+    * Inner join: mentions with no enclosing span are omitted (keeps the
+    * result null-free for exact cross-engine compare). */
+  def nestingJoin(m: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = m.as("a"); val b = m.as("b")
+    val joined = a.join(b,
+      col("a.docId") === col("b.docId") &&
+        col("a.sentId") === col("b.sentId") &&
+        col("b.start") <= col("a.start") && col("a.end") <= col("b.end") &&
+        (col("b.start") < col("a.start") || col("a.end") < col("b.end")))
+    val w = Window
+      .partitionBy(col("a.docId"), col("a.sentId"), col("a.start"),
+        col("a.end"), col("a.entType"))
+      .orderBy(col("b.end") - col("b.start"), col("b.start"), col("b.entType"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("a.docId").as("docId"), col("a.sentId").as("sentId"),
+        col("a.start").as("start"), col("a.end").as("end"),
+        col("a.entType").as("entType"),
+        col("b.start").as("enc_start"), col("b.end").as("enc_end"),
+        col("b.entType").as("enc_type"))
+      .orderBy(col("docId"), col("sentId"), col("start"), col("end"),
+        col("entType"))
+  }
 
   val all: Map[String, Q] = Map(
     "kg_corpus" -> ((s, d) =>
@@ -40,6 +75,10 @@ object KgQueries {
     "kg_canon" -> ((s, _) =>
       ConnectedComponents.canonicalMap(Linker.aliasDf(s))
         .orderBy(col("entity"))),
+    "kg_nesting" -> ((s, d) =>
+      nestingJoin(Extract.run(s, nFilesFor(d)).toDF()
+        .select(col("docId"), col("sentId"), col("start"), col("end"),
+          col("entType")))),
     "kg_eval" -> ((s, d) => {
       val n = nFilesFor(d)
       val st = Pipeline.run(s, n)
@@ -52,4 +91,60 @@ object KgQueries {
         .toDF("level", "correct", "npred", "ngold", "p", "r", "f1")
         .orderBy(col("level"))
     }))
+
+  // ----------------------------------------------------------------
+  // DuckDB oracles over the gold parquet Verify materializes.
+  // `__OUTDIR__` -> absolute outDir (substituted by Verify at dump
+  // time). "start"/"end"/"commit" are quoted (reserved words).
+  // ----------------------------------------------------------------
+
+  private def gold(t: String) =
+    s"read_parquet('__OUTDIR__/_gold/$t/*.parquet')"
+
+  val oracles: Map[String, String] = Map(
+    // the corpus invariant is RECOMPUTED by DuckDB: sha256 over the raw
+    // content must equal the sha256 column the engine carries
+    "kg_corpus" ->
+      s"""SELECT repo, path, "commit", lang, sha256(content) AS sha256
+         |FROM ${gold("corpus")} ORDER BY repo, path""".stripMargin,
+    "kg_mentions" ->
+      s"""SELECT docId, sentId, "start", "end", entType, surface
+         |FROM ${gold("mentions")}
+         |ORDER BY docId, sentId, "start", "end", entType""".stripMargin,
+    "kg_triples" ->
+      s"""SELECT subj, pred, obj, docId FROM ${gold("triples")}
+         |ORDER BY subj, pred, obj, docId""".stripMargin,
+    "kg_canon" ->
+      s"""SELECT entity, canonical FROM ${gold("canon")}
+         |ORDER BY entity""".stripMargin,
+    "kg_nesting" ->
+      s"""WITH m AS (SELECT * FROM ${gold("mentions")}),
+         |enc AS (
+         |  SELECT a.docId, a.sentId, a."start", a."end", a.entType,
+         |    b."start" AS enc_start, b."end" AS enc_end,
+         |    b.entType AS enc_type,
+         |    row_number() OVER (
+         |      PARTITION BY a.docId, a.sentId, a."start", a."end", a.entType
+         |      ORDER BY b."end" - b."start", b."start", b.entType) AS rn
+         |  FROM m a JOIN m b ON a.docId = b.docId AND a.sentId = b.sentId
+         |    AND b."start" <= a."start" AND a."end" <= b."end"
+         |    AND (b."start" < a."start" OR a."end" < b."end"))
+         |SELECT docId, sentId, "start", "end", entType,
+         |  enc_start, enc_end, enc_type
+         |FROM enc WHERE rn = 1
+         |ORDER BY docId, sentId, "start", "end", entType""".stripMargin,
+    // P/R/F1 must be EXACTLY 1.0 against the closed-form gold, with
+    // correct == npred == ngold == |gold| — computed from the gold side
+    // alone, so a single extra or missing prediction fails the row
+    "kg_eval" ->
+      s"""WITH m AS (SELECT count(*) AS n FROM ${gold("mentions")}),
+         |t AS (SELECT count(*) AS n FROM ${gold("triples")})
+         |SELECT * FROM (
+         |  SELECT 'mentions' AS level, n AS correct, n AS npred,
+         |    n AS ngold, CAST(1.0 AS DOUBLE) AS p, CAST(1.0 AS DOUBLE) AS r,
+         |    CAST(1.0 AS DOUBLE) AS f1 FROM m
+         |  UNION ALL
+         |  SELECT 'triples', n, n, n, CAST(1.0 AS DOUBLE),
+         |    CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE) FROM t)
+         |ORDER BY level""".stripMargin)
 }

@@ -38,12 +38,17 @@ object TrainingDataQueries {
     DedupOps.exactGroups(docs(s, d), "doc_id", "text")
       .orderBy(col("fingerprint"))
 
+  // df-cut at 200: shingles present in >200 documents are dropped from
+  // candidate generation (mirrored in the oracles) — the web-scale
+  // guard against quadratic hot-shingle joins.
+  private val MaxDf = 200L
+
   private val dedupJaccard: Q = (s, d) =>
-    DedupOps.jaccardPairs(docs(s, d), "doc_id", "text", 0.7)
+    DedupOps.jaccardPairs(docs(s, d), "doc_id", "text", 0.7, MaxDf)
       .orderBy(col("d1"), col("d2"))
 
   private val dedupMinhash: Q = (s, d) =>
-    DedupOps.minhashLshPairs(docs(s, d), "doc_id", "text", 0.7)
+    DedupOps.minhashLshPairs(docs(s, d), "doc_id", "text", 0.7, MaxDf)
       .orderBy(col("d1"), col("d2"))
 
   private val dedupSimhash: Q = (s, d) =>
@@ -67,11 +72,13 @@ object TrainingDataQueries {
     SimilarityOps.topPairs(emb(s, d), sampleMod = 10, topN = 20)
       .orderBy(col("rank"))
 
+  // Output restricted to integer-exact columns so the DuckDB oracle
+  // reproduces them from the raw text (the payload is its utf-8 bytes);
+  // checksum + float features stay ScalaTest-covered (OpsSpec).
   private val mmFeatures: Q = (s, d) => {
     val media = Multimodal.mediaTable(docs(s, d))
     Multimodal.decodeFeatures(media).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
-        element_at(col("features"), 4).as("mean_byte"))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("byte_sum"))
       .orderBy(col("media_id"))
   }
 
@@ -103,10 +110,17 @@ object TrainingDataQueries {
       |FROM tt)
       |""".stripMargin
 
+  // candidate generation over df-cut postings, exact verification over
+  // the full postings — mirrors DedupOps.jaccardPairs(maxDf=200)
   private val jaccardBody =
-    """, n AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
-      |common AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS c
-      |  FROM sh a JOIN sh b ON a.ng = b.ng AND a.doc < b.doc GROUP BY 1, 2)
+    s""", dfc AS (SELECT ng FROM sh GROUP BY ng HAVING count(*) <= $MaxDf),
+      |shx AS (SELECT sh.doc, sh.ng FROM sh JOIN dfc USING (ng)),
+      |cand AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+      |  FROM shx a JOIN shx b ON a.ng = b.ng AND a.doc < b.doc),
+      |n AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+      |common AS (SELECT d1, d2, count(*) AS c FROM cand
+      |  JOIN sh s1 ON d1 = s1.doc
+      |  JOIN sh s2 ON d2 = s2.doc AND s1.ng = s2.ng GROUP BY 1, 2)
       |SELECT d1, d2,
       |  CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) AS jaccard
       |FROM common JOIN n n1 ON d1 = n1.doc JOIN n n2 ON d2 = n2.doc
@@ -124,8 +138,10 @@ object TrainingDataQueries {
       s"SELECT doc, $b AS band, $sig AS sig FROM sig"
     }.mkString("\n  UNION ALL ")
     shinglesCte +
-      s""", hx AS (SELECT doc,
-         |  ('0x'||substr(md5(ng),1,15))::BIGINT % ${DedupOps.P30} AS x FROM sh),
+      s""", dfc AS (SELECT ng FROM sh GROUP BY ng HAVING count(*) <= $MaxDf),
+         |shx AS (SELECT sh.doc, sh.ng FROM sh JOIN dfc USING (ng)),
+         |hx AS (SELECT doc,
+         |  ('0x'||substr(md5(ng),1,15))::BIGINT % ${DedupOps.P30} AS x FROM shx),
          |sig AS (SELECT doc,
          |  $mins
          |FROM hx GROUP BY doc),
@@ -216,6 +232,15 @@ object TrainingDataQueries {
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(list_aggregate(list_transform(string_split_regex(text, ''),
+        |                                     c -> ascii(c)), 'sum')
+        |       AS BIGINT) AS byte_sum
+        |FROM documents ORDER BY media_id""".stripMargin,
     "embed_pairs" ->
       """SELECT CAST(rank AS INT) AS rank, id1, id2 FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,

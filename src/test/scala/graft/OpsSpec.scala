@@ -32,6 +32,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("df-cut bounds hot-shingle candidate explosion, keeps real near-dups") {
+    import spark.implicits._
+    // 100 docs all sharing one boilerplate trigram, otherwise disjoint
+    val hot = "license header boilerplate"
+    val d = (0 until 100).map(i =>
+      (i.toLong, s"$hot unique$i word$i token$i extra$i more$i"))
+      .toDF("doc_id", "text")
+    val sh = DedupOps.shingles(d, "doc_id", "text").cache()
+    val all = DedupOps.jaccardCandidates(sh).count()
+    val cut = DedupOps.jaccardCandidates(DedupOps.dfCut(sh, 50)).count()
+    assert(all >= 4950, s"hot shingle should explode candidates: $all")
+    assert(cut == 0, s"df-cut must drop hot-shingle-only candidates: $cut")
+    // a genuine near-dup still surfaces through its low-df shingles
+    val twin = d.union(Seq(
+      (1000L, s"$hot unique1 word1 token1 extra1 more1"))
+      .toDF("doc_id", "text"))
+    val pairs = DedupOps.jaccardPairs(twin, "doc_id", "text", 0.7, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 1000L)), s"missing near-dup: $pairs")
+    sh.unpersist()
+  }
+
   test("exact dedup groups partition the corpus") {
     val total = docs.count()
     val sum = DedupOps.exactGroups(docs, "doc_id", "text")
