@@ -61,6 +61,39 @@ object Pipeline {
     Stages(files, ments, canon, triples)
   }
 
+  /** Canonical map from the static dictionary PLUS mention-derived
+    * surface-form alias edges (AliasMining over the linked mention
+    * table) — canonicalization as a data-scale stage: the CC input
+    * grows with the observed corpus vocabulary, not just the dictionary.
+    * On this corpus the mined merges coincide with the dictionary's
+    * snake/camel aliases, so gold parity is preserved (asserted in
+    * PipelineSpec). */
+  def dynamicCanonMap(spark: SparkSession, linked: DataFrame): DataFrame =
+    ConnectedComponents.canonicalMap(Linker.aliasDf(spark),
+      Some(graft.canon.AliasMining.mentionAliasEdges(linked)))
+
+  /** Like [[run]] but with the mention-derived dynamic canonical map.
+    * The linked mention table is persisted because it feeds both the
+    * alias mining aggregation and the canon join (at cluster scale
+    * this is the stage boundary you would materialize anyway). */
+  def runDynamicCanon(spark: SparkSession, nFiles: Long): Stages = {
+    import spark.implicits._
+    val files = Extract.corpus(spark, nFiles)
+    val ments = Extract.mentionsFused(files)
+    val linked = Linker.link(ments).toDF().persist()
+    try {
+      val canonMap = dynamicCanonMap(spark, linked)
+      val canon = linked.join(broadcast(canonMap),
+        linked("entity") === canonMap("entity"), "left")
+        .select(linked("*"),
+          coalesce(col("canonical"), linked("entity")).as("canonical"))
+      val triples =
+        TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
+          .localCheckpoint()
+      Stages(files, ments, canon, triples)
+    } finally linked.unpersist()
+  }
+
   /** Pipeline over a materialized source table (the production shape:
     * north_star reads the Iceberg source-code table; synthesis is data
     * prep, not pipeline). */

@@ -187,6 +187,28 @@ object RelationalQueries {
       .orderBy(col("doc_id"))
   }
 
+  // J3-family, second half: substring-containment alignment join
+  // (ref align_input.py:29-36, 79-95 matches sentences into documents
+  // by str.find). At scale: shingle equi-join prefilter (SparkER-style
+  // blocking) + contains() verification of candidates only — never a
+  // theta cross join.
+  private val containAlign: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val probes = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("probe_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("probe"))
+    val keyed = probes.withColumn("key",
+      concat_ws(" ", slice(split(col("probe"), " "), 1, 3)))
+    val sh = docs.select(col("doc_id"),
+      explode(graft.ops.TextOps.ngrams(col("text"), 3)).as("ng"))
+    val cands = broadcast(keyed).join(sh, col("key") === col("ng"))
+      .select(col("probe_id"), col("probe"), col("doc_id")).distinct()
+    cands.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(col("text").contains(col("probe")))
+      .select(col("probe_id"), col("doc_id"))
+      .orderBy(col("probe_id"), col("doc_id"))
+  }
+
   // A1+J1: strict P/R/F1 computed relationally (ref evaluation.py:69-103).
   // ONE action over a full-outer join — pred/gold each computed exactly
   // once (the production path, StrictMetric.prf, uses the same shape).
@@ -306,6 +328,7 @@ object RelationalQueries {
     "bies_labels" -> biesLabels,
     "mention_format" -> mentionFormat,
     "span_enum" -> spanEnum,
+    "contain_align" -> containAlign,
     "prf_agg" -> prfAgg)
 
   private val spansCte =
@@ -424,6 +447,25 @@ object RelationalQueries {
       """SELECT id, printf('%d,%d grp%d', s, e + 1, grp) AS mention
         |FROM spans WHERE id % 50 = 0 ORDER BY id""".stripMargin),
     "span_enum" -> spanEnumOracle,
+    "contain_align" ->
+      """WITH probes AS (
+        |  SELECT doc_id AS probe_id,
+        |    array_to_string(string_split(text, ' ')[1:5], ' ') AS probe
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |pk AS (SELECT probe_id, probe,
+        |  array_to_string(string_split(probe, ' ')[1:3], ' ') AS key
+        |  FROM probes),
+        |tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+        |                        for i in range(1, len(t)-1)])) AS ng
+        |  FROM tt),
+        |cand AS (SELECT DISTINCT pk.probe_id, pk.probe, sh.doc_id
+        |         FROM pk JOIN sh ON pk.key = sh.ng)
+        |SELECT c.probe_id, c.doc_id
+        |FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+        |WHERE contains(d.text, c.probe)
+        |ORDER BY c.probe_id, c.doc_id""".stripMargin,
     "prf_agg" ->
       """WITH pred AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |              WHERE l_quantity > 25),

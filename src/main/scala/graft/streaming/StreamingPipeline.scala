@@ -50,12 +50,39 @@ object StreamingPipeline {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Idempotent per-batch commit: triples AND the manifest row are
+    * written into a `batchId=<id>` partition with dynamic partition
+    * overwrite, so a RETRIED micro-batch (crash between the data write
+    * and the streaming checkpoint commit) REPLACES its own partition
+    * instead of appending duplicates — the write is exactly-once per
+    * batchId even though foreachBatch is at-least-once. */
+  def commitBatch(triples: DataFrame, batchId: Long, outPath: String,
+      manifestPath: String): Unit = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val cached = triples.cache()
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      cached.withColumn("batchId", lit(batchId))
+        .write.mode("overwrite").partitionBy("batchId").parquet(outPath)
+      val st = cached
+        .withColumn("h", xxhash64(col("subj"), col("pred"),
+          col("obj"), col("docId")))
+        .agg(count(lit(1)), format_string("%016x",
+          coalesce(expr("bit_xor(h)"), lit(0L)))).head()
+      Seq((f"batch$batchId%05d", st.getLong(0), st.getString(1),
+        System.currentTimeMillis(), batchId))
+        .toDF("stage", "rowCount", "contentHash", "committedAt", "batchId")
+        .write.mode("overwrite").partitionBy("batchId").parquet(manifestPath)
+    } finally { cached.unpersist(); () }
+  }
+
   /** Streaming ingest -> triples: foreachBatch runs the SAME batch
     * pipeline stages per micro-batch (north-star §2.9 extension:
     * "idempotent per-partition writes + a manifest table, foreachBatch
     * if a streaming ingest is later attached"). Each micro-batch
-    * appends its triples and commits one lineage row (batchId, counts,
-    * content hash); the checkpointLocation gives exactly-once batches,
+    * commits its triples and one lineage row via [[commitBatch]]
+    * (idempotent per batchId); the checkpointLocation dedups batches,
     * the manifest gives auditability. */
   def triplesStream(files: Dataset[SourceFileHashed], outPath: String,
       manifestPath: String, checkpoint: String)
@@ -75,20 +102,8 @@ object StreamingPipeline {
         import spark.implicits._
         val triples = graft.triples.TripleEmit
           .emitFused(canon.as[graft.triples.TripleEmit.CanonMention])
-          .toDF().cache()
-        try {
-          triples.write.mode("append").parquet(outPath)
-          val st = triples
-            .withColumn("h", xxhash64(col("subj"), col("pred"),
-              col("obj"), col("docId")))
-            .agg(count(lit(1)), format_string("%016x",
-              coalesce(expr("bit_xor(h)"), lit(0L)))).head()
-          Seq((f"batch$batchId%05d", batchId, st.getLong(0),
-            st.getString(1), System.currentTimeMillis()))
-            .toDF("stage", "batchId", "rowCount", "contentHash", "committedAt")
-            .write.mode("append").parquet(manifestPath)
-        } finally triples.unpersist()
-        ()
+          .toDF()
+        commitBatch(triples, batchId, outPath, manifestPath)
       }
       .start()
   }

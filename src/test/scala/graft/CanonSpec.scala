@@ -1,0 +1,61 @@
+package graft
+
+import graft.canon.{AliasMining, ConnectedComponents}
+import org.apache.spark.sql.functions._
+
+/** Canonicalization at data scale: large/small-star CC convergence on
+  * an adversarial chain, and mention-derived alias edges. */
+class CanonSpec extends SparkSpec {
+
+  test("large/small-star CC converges in O(log n) rounds on a 10^6-edge chain") {
+    import spark.implicits._
+    // worst case for label propagation: a single chain — diameter n.
+    // Zero-padded ids so lexicographic order == numeric order.
+    val n = 1000000
+    val edges = spark.range(n - 1)
+      .select(format_string("n%07d", col("id")).as("src"),
+        format_string("n%07d", col("id") + 1).as("dst"))
+    val (labels, rounds) = ConnectedComponents.runWithStats(edges)
+    val bound = 2 * (math.ceil(math.log(n.toDouble) / math.log(2)) + 2).toInt
+    assert(rounds <= bound, s"took $rounds rounds (bound $bound)")
+    val bad = labels.filter(col("component") =!= lit("n0000000")).count()
+    assert(bad == 0, s"$bad nodes not labeled with the chain minimum")
+    assert(labels.count() == n)
+  }
+
+  test("star CC equals min-label result on the alias dictionary") {
+    val got = ConnectedComponents.canonicalMap(graft.link.Linker.aliasDf(spark))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == graft.core.Vocab.canonicalOf)
+  }
+
+  test("mention-derived edges merge camel/snake surfaces beyond the dictionary") {
+    import spark.implicits._
+    // two surface forms of an entity the dictionary does not know
+    val linked = Seq(
+      ("d1", 0, 0, 1, "identifier", "quuxFrob", "quuxFrob"),
+      ("d2", 0, 0, 1, "identifier", "quux_frob", "quux_frob"),
+      ("d3", 0, 0, 1, "identifier", "other", "other"))
+      .toDF("docId", "sentId", "start", "end", "entType", "surface", "entity")
+    val edges = AliasMining.mentionAliasEdges(linked)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges == Set(("quuxFrob", "quux_frob")), s"edges: $edges")
+    val canon = ConnectedComponents.canonicalMap(
+      graft.link.Linker.aliasDf(spark), Some(AliasMining.mentionAliasEdges(linked)))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon("quux_frob") == canon("quuxFrob"))
+    // edge-less non-dictionary entities are absent from the map — the
+    // pipeline's left-join coalesce(entity) keeps them self-canonical
+    assert(canon.getOrElse("other", "other") == "other")
+    // dictionary entities keep their static canonical assignment
+    graft.core.Vocab.canonicalOf.foreach { case (e, c) =>
+      assert(canon(e) == c, s"dictionary canon drifted for $e")
+    }
+  }
+
+  test("CC on an empty edge table returns empty labels (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(ConnectedComponents.run(empty).count() == 0)
+  }
+}

@@ -44,6 +44,15 @@ class PipelineSpec extends SparkSpec {
     assert(mm.p >= 0.95 && mm.r >= 0.95, s"mentions off: $mm")
   }
 
+  test("dynamic (mention-derived) canonicalization preserves gold parity") {
+    val stat = Pipeline.run(spark, 100).triples
+      .select("subj", "pred", "obj", "docId").collect().map(_.toSeq).toSet
+    val dyn = Pipeline.runDynamicCanon(spark, 100).triples
+      .select("subj", "pred", "obj", "docId").collect().map(_.toSeq).toSet
+    assert(dyn == stat && dyn.nonEmpty,
+      s"dynamic-canon drift: +${(dyn -- stat).take(3)} -${(stat -- dyn).take(3)}")
+  }
+
   test("fused triple emitter == relational 5-branch emitter") {
     val a = Pipeline.run(spark, 120, relationalEmit = false).triples
       .select("subj", "pred", "obj", "docId")

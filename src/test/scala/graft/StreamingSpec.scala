@@ -76,6 +76,26 @@ class StreamingSpec extends SparkSpec {
       .head().getLong(0) == spark.read.parquet(out).count())
   }
 
+  test("a retried micro-batch commit is idempotent (no duplicate triples)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("stream-retry").toString
+    val out = s"$tmp/out"; val man = s"$tmp/man"
+    val triples = Seq(("a", "calls", "b", "d1", 1.0), ("c", "imports", "d", "d1", 1.0))
+      .toDF("subj", "pred", "obj", "docId", "score")
+    StreamingPipeline.commitBatch(triples, 0L, out, man)
+    val once = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    // simulate the at-least-once retry: same batchId commits again
+    StreamingPipeline.commitBatch(triples, 0L, out, man)
+    val twice = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    assert(twice == once && spark.read.parquet(out).count() == 2)
+    assert(spark.read.parquet(man).count() == 1, "manifest row duplicated")
+    // a NEW batch appends its own partition without touching batch 0
+    StreamingPipeline.commitBatch(triples
+      .withColumn("docId", lit("d2")), 1L, out, man)
+    assert(spark.read.parquet(out).count() == 4)
+    assert(spark.read.parquet(man).count() == 2)
+  }
+
   test("gap sessionization with flatMapGroupsWithState") {
     import spark.implicits._
     def ts(m: Long) = new java.sql.Timestamp(m * 60000)
