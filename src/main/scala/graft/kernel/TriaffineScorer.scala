@@ -16,7 +16,10 @@ import graft.core.{Mention, Sentence, TypeDict}
   *    reference's context-aware encode over ltokens/rtokens, K5)
   *   s1(i,j,r) = b_r + wHead_r·h_i + wTail_r·h_j + single/multi bias
   *             + eps * a_i^T M[i..j] b_j / len                (triaffine)
+  *             + eps * wBi_r * (a_i·b_j)                      (biaffine)
   *   where a_i = U h_i, b_j = V h_j, M[i..j] = sum_k (W x_k)(W x_k)^T
+  *   stage 2: h_span = Σ_z alpha_z c_z with alpha = masked softmax over
+  *   z∈[i,j] of (a_i·c_z)(c_z·b_j); s2 = s1 + eps * w2_r·h_span
   *
   * The O(n^3) triple interaction collapses to prefix-summed rank×rank
   * outer products (the Spark-side analog of the reference's opt_einsum
@@ -62,6 +65,7 @@ object TriaffineScorer extends Serializable {
     val selS1 = Array.ofDim[Double](kBest + 1, nt)
     val span = new Array[Double](w.rank)
     val s1tmp = new Array[Double](nt)
+    val att = new Array[Double](MaxN)  // stage-2 attention scratch
     val pad: Array[Double] = {
       val p = new Array[Double](w.dim)
       p(w.tagIdx(Weights.PadTag)) = 1.0
@@ -76,10 +80,11 @@ object TriaffineScorer extends Serializable {
     ws
   }
 
-  /** Per-thread memo of word-hash embeddings: the vocabulary of a code
-    * corpus is heavy-tailed, so the seeded-PRNG embedding of a token is
-    * computed once per executor thread, not once per occurrence.
-    * Bounded to keep executor memory flat at 100 TB scale. */
+  /** Per-thread memo of per-token vectors (word-hash embedding + char-
+    * recurrence state): the vocabulary of a code corpus is heavy-tailed,
+    * so the vector of a token is computed once per executor thread, not
+    * once per occurrence. Bounded to keep executor memory flat at
+    * 100 TB scale. */
   private val embedCache = new ThreadLocal[java.util.LinkedHashMap[String, Array[Double]]] {
     override def initialValue() =
       new java.util.LinkedHashMap[String, Array[Double]](1024, 0.75f, true) {
@@ -89,17 +94,32 @@ object TriaffineScorer extends Serializable {
       }
   }
 
-  private def hashEmbed(tok: String, w: Weights): Array[Double] = {
+  /** [word-hash embedding (nHashDims) ; char-recurrence last state
+    * (nCharDims)]. The hash part is the analog of the frozen word
+    * vectors (reference word_embed.py:84-96); the char part is the
+    * per-word char-encoder last-state gather (K3/A8, reference
+    * text_encoder.py:258-271) as a fixed-decay recurrence
+    * s_c = decay*s_{c-1} + charEmbed(c). Deterministic across JVMs. */
+  private def tokenVec(tok: String, w: Weights): Array[Double] = {
     val cache = embedCache.get()
     var v = cache.get(tok)
     if (v == null) {
-      v = new Array[Double](w.nHashDims)
-      // seeded word-hash embedding (analog of the frozen word vectors,
-      // reference word_embed.py:84-96): deterministic across JVMs.
+      v = new Array[Double](w.nHashDims + w.nCharDims)
       val rng = new scala.util.Random(
         scala.util.hashing.MurmurHash3.stringHash(tok) ^ 7)
       var d = 0
       while (d < w.nHashDims) { v(d) = rng.nextGaussian() * 0.01; d += 1 }
+      var c = 0
+      while (c < tok.length) {
+        val ce = w.charEmbed(tok.charAt(c) % 128)
+        var j = 0
+        while (j < w.nCharDims) {
+          val i = w.nHashDims + j
+          v(i) = w.charDecay * v(i) + ce(j)
+          j += 1
+        }
+        c += 1
+      }
       cache.put(tok, v)
     }
     v
@@ -122,12 +142,14 @@ object TriaffineScorer extends Serializable {
       IndexedSeq.empty, IndexedSeq.empty, IndexedSeq.empty,
       IndexedSeq.empty, w)
 
-  /** Fill one per-token feature vector [tag one-hot ; word-hash]. */
+  /** Fill one per-token feature vector
+    * [tag one-hot ; word-hash ; char-recurrence]. */
   private def featurize(tok: String, tag: String, out: Array[Double],
       w: Weights): Unit = {
     java.util.Arrays.fill(out, 0.0)
     out(w.tagIdx.getOrElse(tag, w.tagIdx(Weights.PadTag))) = 1.0
-    System.arraycopy(hashEmbed(tok, w), 0, out, w.nTagDims, w.nHashDims)
+    System.arraycopy(tokenVec(tok, w), 0, out, w.nTagDims,
+      w.nHashDims + w.nCharDims)
   }
 
   /** Score one sentence -> surviving typed spans. Pure & deterministic
@@ -233,6 +255,9 @@ object TriaffineScorer extends Serializable {
           u += 1
         }
         tri = tri / len * w.epsilon
+        // biaffine head-tail interaction (K9 aux scorer, reference
+        // parser.py:84-148): low-rank a_i·b_j, per-type weighted
+        val bi = dot(ai, bj, rank) * w.epsilon
         val s1 = ws.s1tmp
         var best = Double.NegativeInfinity
         r = 0
@@ -241,6 +266,7 @@ object TriaffineScorer extends Serializable {
           if (r == nt - 1) s = 0.0 + tri // NA baseline
           else {
             s = w.bias(r) + ws.headS(r)(i) + ws.tailS(r)(j) + tri +
+              bi * w.wBi(r) +
               (if (i == j) w.wSingle(r) else w.wMulti(r))
             if (s > best) best = s
           }
@@ -273,19 +299,41 @@ object TriaffineScorer extends Serializable {
       i += 1
     }
 
-    // stage 2: rescore survivors with the span vector, argmax decode
+    // stage 2: rescore survivors with an ATTENTION-pooled span vector,
+    // argmax decode. Attention = masked softmax over inside tokens
+    // z ∈ [x, y] (cells outside the span are excluded by construction —
+    // the reference masks them to -1e6 before the softmax,
+    // parser.py:520-525) of att_z = (a_x·c_z)(c_z·b_y), then
+    // h_span = Σ_z alpha_z c_z (the reference's span_att_v2.py:372).
     val out = Vector.newBuilder[ScoredSpan]
     var s = 0
     while (s < selN) {
       val si = ws.selI(s); val sj = ws.selJ(s)
       val len = sj - si + 1
+      val ai = ws.a(si); val bj = ws.b(sj)
+      var maxA = Double.NegativeInfinity
+      var kk = si
+      while (kk <= sj) {
+        val ck = ws.c(kk)
+        val av = dot(ai, ck, rank) * dot(ck, bj, rank)
+        ws.att(kk - si) = av
+        if (av > maxA) maxA = av
+        kk += 1
+      }
+      var denom = 0.0
+      kk = 0
+      while (kk < len) {
+        val e = StrictMath.exp(ws.att(kk) - maxA)
+        ws.att(kk) = e; denom += e
+        kk += 1
+      }
       val span = ws.span
       var u = 0
       while (u < rank) {
         var acc = 0.0
-        var kk = si
-        while (kk <= sj) { acc += ws.c(kk)(u); kk += 1 }
-        span(u) = acc / len
+        kk = 0
+        while (kk < len) { acc += ws.att(kk) * ws.c(si + kk)(u); kk += 1 }
+        span(u) = acc / denom
         u += 1
       }
       val s1 = ws.selS1(s)

@@ -19,8 +19,9 @@ final case class Weights(
     tagIdx: Map[String, Int],
     nTagDims: Int,          // tag one-hots + PAD
     nHashDims: Int,         // seeded word-hash embedding dims
+    nCharDims: Int,         // char-recurrence encoder dims (K3)
     dim: Int,               // per-token feature dim
-    hDim: Int,              // fused window dim = 3*dim
+    hDim: Int,              // fused window dim = 5*dim
     rank: Int,              // triaffine factor rank
     wHead: Array[Array[Double]],   // [numTypes+1][hDim]
     wTail: Array[Array[Double]],
@@ -31,6 +32,9 @@ final case class Weights(
     triV: Array[Array[Double]],   // [rank][hDim]  tail factor
     triW: Array[Array[Double]],   // [rank][dim]   inside factor
     w2: Array[Array[Double]],     // [numTypes+1][rank] stage-2 span-vec
+    wBi: Array[Double],           // [numTypes+1] biaffine a_i·b_j weight
+    charEmbed: Array[Array[Double]],   // [128][nCharDims] char vectors
+    charDecay: Double,            // char recurrence decay
     epsilon: Double,              // scale of the triaffine term
     topK: Int,                    // per-sentence span budget (ref: 30)
     maxSpanLen: Int)
@@ -48,8 +52,13 @@ object Weights {
     val tagIdx = tags.zipWithIndex.toMap
     val nTag = tags.size              // 19
     val nHash = 13
-    val dim = nTag + nHash            // 32
-    // 160: [prev ; self ; next ; prev-LINE last ; next-LINE first].
+    // char-recurrence encoder (K3 analog of the reference's per-word
+    // char BiLSTM last-state gather, text_encoder.py:258-271): a fixed-
+    // decay recurrence over per-char vectors, last state gathered into
+    // the token features.
+    val nChar = 8
+    val dim = nTag + nHash + nChar    // 40
+    // 200: [prev ; self ; next ; prev-LINE last ; next-LINE first].
     // Slots 3/4 are the cross-line context channel (reference K5,
     // text_encoder.py:316-390): the last token of ltokens and the first
     // token of rtokens enter every position's fused vector. Slots 0-2
@@ -141,12 +150,15 @@ object Weights {
     def gauss(n: Int, m: Int, std: Double) =
       Array.fill(n, m)(rng.nextGaussian() * std)
 
-    Weights(tagIdx, nTag, nHash, dim, hDim, rank,
+    Weights(tagIdx, nTag, nHash, nChar, dim, hDim, rank,
       wHead, wTail, bias, wSingle, wMulti,
       triU = gauss(rank, hDim, 0.05),
       triV = gauss(rank, hDim, 0.05),
       triW = gauss(rank, dim, 0.05),
       w2 = gauss(nt, rank, 0.05),
+      wBi = gauss(nt, 1, 0.05).map(_(0)),
+      charEmbed = gauss(128, nChar, 0.05),
+      charDecay = 0.75,
       epsilon = 1e-3,
       topK = 30,
       maxSpanLen = 16)

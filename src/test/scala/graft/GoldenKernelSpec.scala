@@ -27,12 +27,12 @@ class GoldenKernelSpec extends AnyFunSuite {
       .flatMap(s => TriaffineScorer.mentions(s, w))
       .map(m => (m.sentId, m.start, m.end, m.entType, m.score))
     val expected = Seq(
-      (4, 1, 2, "annotation", 10.000005617404621),
-      (5, 1, 2, "function", 10.000009065462912),
-      (5, 1, 9, "signature", 5.0000008674615275),
-      (5, 3, 4, "identifier", 14.999998774587500),
-      (5, 5, 6, "type_ref", 4.9999983066786910),
-      (5, 8, 9, "type_ref", 4.9999983029153740))
+      (4, 1, 2, "annotation", 10.000013240365895),
+      (5, 1, 2, "function", 9.999995716460294),
+      (5, 1, 9, "signature", 4.999997077542931),
+      (5, 3, 4, "identifier", 15.000001362438713),
+      (5, 5, 6, "type_ref", 5.000014117279009),
+      (5, 8, 9, "type_ref", 5.000018767008297))
     assert(got.size == expected.size, s"got: $got")
     got.zip(expected).foreach { case (a, e) =>
       assert((a._1, a._2, a._3, a._4) == (e._1, e._2, e._3, e._4), s"span: $a")
