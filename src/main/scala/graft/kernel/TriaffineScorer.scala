@@ -71,6 +71,27 @@ object TriaffineScorer extends Serializable {
       p(w.tagIdx(Weights.PadTag)) = 1.0
       p
     }
+    // Sparse views of the rule-compiled head/tail rows: they carry a
+    // handful of nonzeros out of hDim, and skipping exact-0.0 terms is
+    // bit-identical (x + 0.0*y == x for finite y). Built once per
+    // thread; turns the per-(type, position) hDim dots into ~5 mults.
+    private def sparse(rows: Array[Array[Double]])
+        : (Array[Array[Int]], Array[Array[Double]]) = {
+      val idx = rows.map(r => r.indices.filter(d => r(d) != 0.0).toArray)
+      (idx, idx.zip(rows).map { case (is, r) => is.map(r(_)) })
+    }
+    val (headIdx, headVal) = sparse(w.wHead)
+    val (tailIdx, tailVal) = sparse(w.wTail)
+    // constant-per-sentence context contribution to the a/b factors
+    val aCtx = new Array[Double](w.rank)
+    val bCtx = new Array[Double](w.rank)
+  }
+
+  private def sparseDot(idx: Array[Int], v: Array[Double],
+      h: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < idx.length) { s += v(i) * h(idx(i)); i += 1 }
+    s
   }
 
   private val wsCache = new ThreadLocal[Workspace]
@@ -194,14 +215,31 @@ object TriaffineScorer extends Serializable {
       System.arraycopy(ws.cn, 0, h, 4 * w.dim, w.dim)
       k += 1
     }
-    // triaffine factors + prefix sums of c c^T
+    // triaffine factors + prefix sums of c c^T. The context blocks
+    // (dims 3*dim..5*dim of h) are IDENTICAL for every k, so their
+    // contribution to a/b is hoisted out of the per-token loop.
+    val dim3 = 3 * w.dim
+    var p0 = 0
+    while (p0 < rank) {
+      var su = 0.0; var sv = 0.0
+      var d = 0
+      while (d < w.dim) {
+        su += w.triU(p0)(dim3 + d) * ws.cp(d) +
+          w.triU(p0)(dim3 + w.dim + d) * ws.cn(d)
+        sv += w.triV(p0)(dim3 + d) * ws.cp(d) +
+          w.triV(p0)(dim3 + w.dim + d) * ws.cn(d)
+        d += 1
+      }
+      ws.aCtx(p0) = su; ws.bCtx(p0) = sv
+      p0 += 1
+    }
     java.util.Arrays.fill(ws.prefix(0), 0.0)
     k = 0
     while (k < n) {
       var p = 0
       while (p < rank) {
-        ws.a(k)(p) = dot(w.triU(p), ws.h(k), w.hDim)
-        ws.b(k)(p) = dot(w.triV(p), ws.h(k), w.hDim)
+        ws.a(k)(p) = dot(w.triU(p), ws.h(k), dim3) + ws.aCtx(p)
+        ws.b(k)(p) = dot(w.triV(p), ws.h(k), dim3) + ws.bCtx(p)
         ws.c(k)(p) = dot(w.triW(p), ws.x(k), w.dim)
         p += 1
       }
@@ -218,13 +256,15 @@ object TriaffineScorer extends Serializable {
       }
       k += 1
     }
-    // head/tail linear scores per (type, position)
+    // head/tail linear scores per (type, position) — sparse rows
     var r = 0
     while (r < nt) {
+      val hi = ws.headIdx(r); val hv = ws.headVal(r)
+      val ti = ws.tailIdx(r); val tv = ws.tailVal(r)
       var i = 0
       while (i < n) {
-        ws.headS(r)(i) = dot(w.wHead(r), ws.h(i), w.hDim)
-        ws.tailS(r)(i) = dot(w.wTail(r), ws.h(i), w.hDim)
+        ws.headS(r)(i) = sparseDot(hi, hv, ws.h(i))
+        ws.tailS(r)(i) = sparseDot(ti, tv, ws.h(i))
         i += 1
       }
       r += 1
