@@ -60,7 +60,10 @@ object Bench {
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "4").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val skipHeadline = sys.env.contains("SPARK_GRAFT_SKIP_HEADLINE")
-    val corpusPath = s"/tmp/graft_bench_corpus_$scaleFiles"
+    // content-versioned cache key: a generator/grammar change must not
+    // silently reuse a stale materialized corpus from a previous round
+    val corpusVer = graft.core.CorpusGen.file(0L).source.sha256.take(8)
+    val corpusPath = s"/tmp/graft_bench_corpus_${scaleFiles}_$corpusVer"
 
     // 1: headline queries at `cpus` (after a JIT/codegen warm-up so
     // first-position queries aren't charged for kernel compilation)

@@ -1,0 +1,61 @@
+package graft.extract
+
+import graft.core.{Mention, Sentence}
+import graft.kernel.{TriaffineScorer, Weights}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Frozen-encoder cache (SURVEY S3): materialize per-sentence encoder
+  * output to a parquet table keyed by (docId, sentId), then score from
+  * the cache via a keyed equi-join back to the sentence table — the
+  * reference's HDF5 BERT-output cache (/root/reference/data_util.py:64-70,
+  * 561-567; built main.py:67-78) re-expressed as a Spark stage-output
+  * table.
+  *
+  * Why it matters at 100 TB: encoding is the expensive half of the
+  * kernel; re-runs over the same snapshot (new scoring weights, a new
+  * downstream stage) fetch the cached encodings by key instead of
+  * re-encoding the corpus. The join is an equi-join on
+  * (docId, sentId) — both sides hash-partition on the same key.
+  */
+object EncodingCache {
+
+  final case class EncRow(docId: String, sentId: Int, enc: Array[Double])
+
+  /** Materialize encoder outputs, keyed by (docId, sentId). */
+  def write(sents: Dataset[Sentence], path: String): Unit = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(Weights.default)
+    sents.mapPartitions { it =>
+      val w = bw.value
+      it.map { s =>
+        EncRow(s.docId, s.sentId,
+          TriaffineScorer.encodeSentence(
+            s.tokens.toIndexedSeq, s.pos.toIndexedSeq,
+            s.ltokens.toIndexedSeq, s.lpos.toIndexedSeq,
+            s.rtokens.toIndexedSeq, s.rpos.toIndexedSeq, w))
+      }
+    }.write.mode("overwrite").parquet(path)
+  }
+
+  /** Mentions from cached encodings: sentences ⋈ cache on
+    * (docId, sentId); the kernel consumes the cached payload (never
+    * re-encodes); tokens ride along only for surface/nextTok decode.
+    * Bit-identical to the direct path (asserted in tests). */
+  def mentions(sents: Dataset[Sentence], path: String): Dataset[Mention] = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(Weights.default)
+    val enc = spark.read.parquet(path).as[EncRow]
+    sents.joinWith(enc,
+      sents("docId") === enc("docId") && sents("sentId") === enc("sentId"))
+      .mapPartitions { it =>
+        val w = bw.value
+        it.flatMap { case (s, e) =>
+          TriaffineScorer.toMentions(s.docId, s.sentId,
+            s.tokens.toIndexedSeq,
+            TriaffineScorer.scoreEncoded(e.enc, w))
+        }
+      }
+  }
+}

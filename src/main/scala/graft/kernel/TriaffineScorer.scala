@@ -115,10 +115,27 @@ object TriaffineScorer extends Serializable {
       }
   }
 
-  /** [word-hash embedding (nHashDims) ; char-recurrence last state
-    * (nCharDims)]. The hash part is the analog of the frozen word
-    * vectors (reference word_embed.py:84-96); the char part is the
-    * per-word char-encoder last-state gather (K3/A8, reference
+  /** Subword pieces of a code token: split at case boundaries and
+    * underscores (parseTree -> [parse, Tree]; parse_tree ->
+    * [parse, tree]). The reference's subword units re-targeted at
+    * identifiers. */
+  private[kernel] def pieces(tok: String): Array[String] =
+    tok.split("(?=[A-Z])|_").filter(_.nonEmpty)
+
+  private def hashInto(s: String, v: Array[Double], scale: Double,
+      n: Int): Unit = {
+    val rng = new scala.util.Random(
+      scala.util.hashing.MurmurHash3.stringHash(s) ^ 7)
+    var d = 0
+    while (d < n) { v(d) += rng.nextGaussian() * scale; d += 1 }
+  }
+
+  /** [subword-pooled word-hash embedding (nHashDims) ; char-recurrence
+    * last state (nCharDims)]. The hash part is the analog of the frozen
+    * word vectors (reference word_embed.py:84-96), MEAN-POOLED over
+    * subword pieces (A4 subword pooling, text_encoder.py:146-163) so
+    * parseTree and parse_tree share piece-level signal; the char part
+    * is the per-word char-encoder last-state gather (K3/A8, reference
     * text_encoder.py:258-271) as a fixed-decay recurrence
     * s_c = decay*s_{c-1} + charEmbed(c). Deterministic across JVMs. */
   private def tokenVec(tok: String, w: Weights): Array[Double] = {
@@ -126,10 +143,15 @@ object TriaffineScorer extends Serializable {
     var v = cache.get(tok)
     if (v == null) {
       v = new Array[Double](w.nHashDims + w.nCharDims)
-      val rng = new scala.util.Random(
-        scala.util.hashing.MurmurHash3.stringHash(tok) ^ 7)
-      var d = 0
-      while (d < w.nHashDims) { v(d) = rng.nextGaussian() * 0.01; d += 1 }
+      val ps = pieces(tok)
+      if (ps.length <= 1) hashInto(tok, v, 0.01, w.nHashDims)
+      else {
+        // mean pooling over subword pieces (reference subword_aggr=mean)
+        var i = 0
+        while (i < ps.length) { hashInto(ps(i), v, 0.01, w.nHashDims); i += 1 }
+        var d = 0
+        while (d < w.nHashDims) { v(d) /= ps.length; d += 1 }
+      }
       var c = 0
       while (c < tok.length) {
         val ce = w.charEmbed(tok.charAt(c) % 128)
@@ -185,15 +207,10 @@ object TriaffineScorer extends Serializable {
     val n = math.min(tokens.length, MaxN)
     if (n == 0) return Nil
     val ws = workspace(w)
-    val nt = ws.nt
-    val rank = w.rank
-    val r2 = rank * rank
-
     // features x_k = [tag one-hot ; word-hash embedding]
     var k = 0
     while (k < n) {
-      val x = ws.x(k)
-      featurize(tokens(k), tags(k), x, w)
+      featurize(tokens(k), tags(k), ws.x(k), w)
       k += 1
     }
     // cross-line context features (pad when no adjacent line)
@@ -203,8 +220,60 @@ object TriaffineScorer extends Serializable {
     if (rtokens.nonEmpty)
       featurize(rtokens.head, rtags.head, ws.cn, w)
     else System.arraycopy(ws.pad, 0, ws.cn, 0, w.dim)
+    scoreFromWorkspace(n, ws, w)
+  }
+
+  /** Frozen-encoder output of one sentence (the S3 cache payload):
+    * flat = [x_0 .. x_{n-1} ; ctxPrev ; ctxNext], each `dim` wide.
+    * [[scoreEncoded]] consumes it WITHOUT re-encoding — the analog of
+    * the reference's per-record HDF5 BERT cache (data_util.py:64-70,
+    * 561-567) fetched by key and fed to the scorer. */
+  def encodeSentence(tokens: IndexedSeq[String], tags: IndexedSeq[String],
+      ltokens: IndexedSeq[String], ltags: IndexedSeq[String],
+      rtokens: IndexedSeq[String], rtags: IndexedSeq[String],
+      w: Weights): Array[Double] = {
+    val n = math.min(tokens.length, MaxN)
+    val ws = workspace(w)
+    val flat = new Array[Double]((n + 2) * w.dim)
+    var k = 0
+    while (k < n) {
+      featurize(tokens(k), tags(k), ws.x(k), w)
+      System.arraycopy(ws.x(k), 0, flat, k * w.dim, w.dim)
+      k += 1
+    }
+    if (ltokens.nonEmpty) featurize(ltokens.last, ltags.last, ws.cp, w)
+    else System.arraycopy(ws.pad, 0, ws.cp, 0, w.dim)
+    if (rtokens.nonEmpty) featurize(rtokens.head, rtags.head, ws.cn, w)
+    else System.arraycopy(ws.pad, 0, ws.cn, 0, w.dim)
+    System.arraycopy(ws.cp, 0, flat, n * w.dim, w.dim)
+    System.arraycopy(ws.cn, 0, flat, (n + 1) * w.dim, w.dim)
+    flat
+  }
+
+  /** Score from a cached [[encodeSentence]] payload — bit-identical to
+    * [[scoreSentence]] on the same sentence (asserted in tests). */
+  def scoreEncoded(flat: Array[Double], w: Weights): Seq[ScoredSpan] = {
+    val n = flat.length / w.dim - 2
+    if (n <= 0) return Nil
+    val ws = workspace(w)
+    var k = 0
+    while (k < n) {
+      System.arraycopy(flat, k * w.dim, ws.x(k), 0, w.dim)
+      k += 1
+    }
+    System.arraycopy(flat, n * w.dim, ws.cp, 0, w.dim)
+    System.arraycopy(flat, (n + 1) * w.dim, ws.cn, 0, w.dim)
+    scoreFromWorkspace(n, ws, w)
+  }
+
+  /** Fusion + triaffine cascade over already-filled workspace features
+    * (ws.x(0..n), ws.cp, ws.cn). */
+  private def scoreFromWorkspace(n: Int, ws: Workspace,
+      w: Weights): Seq[ScoredSpan] = {
+    val nt = ws.nt
+    val rank = w.rank
     // window fusion h_k = [x_{k-1}; x_k; x_{k+1}; ctxPrev; ctxNext]
-    k = 0
+    var k = 0
     while (k < n) {
       val h = ws.h(k)
       System.arraycopy(if (k > 0) ws.x(k - 1) else ws.pad, 0, h, 0, w.dim)
@@ -393,16 +462,23 @@ object TriaffineScorer extends Serializable {
     out.result().sortBy(sp => (sp.start, sp.endExcl))
   }
 
-  /** Sentence -> mentions (adds surface + type name + next token). */
-  def mentions(s: Sentence, w: Weights): Seq[Mention] = {
-    val toks = s.tokens.toIndexedSeq
-    scoreSentence(toks, s.pos.toIndexedSeq,
-      s.ltokens.toIndexedSeq, s.lpos.toIndexedSeq,
-      s.rtokens.toIndexedSeq, s.rpos.toIndexedSeq, w).map { sp =>
-      Mention(s.docId, s.sentId, sp.start, sp.endExcl,
+  /** Decode scored spans to mentions (surface + type name + next
+    * token) — shared by the direct and cached-encoding paths. */
+  def toMentions(docId: String, sentId: Int, toks: IndexedSeq[String],
+      sps: Seq[ScoredSpan]): Seq[Mention] =
+    sps.map { sp =>
+      Mention(docId, sentId, sp.start, sp.endExcl,
         TypeDict.types(sp.typeId), sp.score,
         toks.slice(sp.start, sp.endExcl).mkString(" "),
         if (sp.endExcl < toks.length) toks(sp.endExcl) else "")
     }
+
+  /** Sentence -> mentions (adds surface + type name + next token). */
+  def mentions(s: Sentence, w: Weights): Seq[Mention] = {
+    val toks = s.tokens.toIndexedSeq
+    toMentions(s.docId, s.sentId, toks,
+      scoreSentence(toks, s.pos.toIndexedSeq,
+        s.ltokens.toIndexedSeq, s.lpos.toIndexedSeq,
+        s.rtokens.toIndexedSeq, s.rpos.toIndexedSeq, w))
   }
 }

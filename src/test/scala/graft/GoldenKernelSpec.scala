@@ -28,9 +28,9 @@ class GoldenKernelSpec extends AnyFunSuite {
       .map(m => (m.sentId, m.start, m.end, m.entType, m.score))
     val expected = Seq(
       (4, 1, 2, "annotation", 10.000013240365895),
-      (5, 1, 2, "function", 9.999995716460294),
-      (5, 1, 9, "signature", 4.999997077542931),
-      (5, 3, 4, "identifier", 15.000001362438713),
+      (5, 1, 2, "function", 9.999995984141407),
+      (5, 1, 9, "signature", 4.999997151944592),
+      (5, 3, 4, "identifier", 15.000002077278662),
       (5, 5, 6, "type_ref", 5.000014117279009),
       (5, 8, 9, "type_ref", 5.000018767008297))
     assert(got.size == expected.size, s"got: $got")

@@ -63,6 +63,20 @@ class PipelineSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("frozen-encoding cache + keyed join-back == direct kernel path") {
+    import graft.extract.{EncodingCache, Extract}
+    val tmp = java.nio.file.Files.createTempDirectory("enc-cache").toString
+    val sents = Extract.sentences(Extract.corpus(spark, 40))
+    EncodingCache.write(sents, tmp)
+    val cached = EncodingCache.mentions(sents, tmp)
+      .collect().map(m => (m.docId, m.sentId, m.start, m.end, m.entType,
+        m.score, m.surface, m.nextTok)).toSet
+    val direct = Extract.mentions(sents)
+      .collect().map(m => (m.docId, m.sentId, m.start, m.end, m.entType,
+        m.score, m.surface, m.nextTok)).toSet
+    assert(cached == direct && direct.nonEmpty)
+  }
+
   test("mentions are unique per span (no dedup shuffle needed)") {
     import spark.implicits._
     val m = graft.extract.Extract.run(spark, 100)
