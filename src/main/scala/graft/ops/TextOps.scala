@@ -76,6 +76,35 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the classic
+    * rolling-hash document fingerprint): hash every char k-gram, then
+    * keep the MINIMUM hash of every sliding window of `win` k-grams;
+    * the distinct selected hashes are the document's fingerprint set.
+    * Guarantees any shared substring of length >= k + win - 1 yields a
+    * shared fingerprint. Pure column expressions + one bounded window
+    * (partitioned by doc — never global), so it scales as a narrow map
+    * + per-doc window over the documents table. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, win: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nGrams = (length(col("t")) - (k - 1)).as("n")
+    val grams = docs
+      .select(col(idCol).as("doc"), col(textCol).as("t"))
+      .select(col("doc"), nGrams,
+        // guard: Spark's sequence(1, n) is DESCENDING for n < 1
+        explode(when(length(col("t")) - (k - 1) >= 1,
+          sequence(lit(1), length(col("t")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"),
+        col("t"))
+      .select(col("doc"), col("n"), col("pos"),
+        md5h60(col("t").substr(col("pos"), lit(k))).as("h"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, win - 1)
+    grams.withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") <= col("n") - (win - 1))
+      .select(col("doc"), col("fp")).distinct()
+  }
+
   /** Word n-gram set (distinct), the dedup shingle unit. */
   def ngrams(text: Column, n: Int): Column = {
     val t = words(text)

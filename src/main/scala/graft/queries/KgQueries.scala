@@ -76,9 +76,13 @@ object KgQueries {
       ConnectedComponents.canonicalMap(Linker.aliasDf(s))
         .orderBy(col("entity"))),
     "kg_nesting" -> ((s, d) =>
+      // localCheckpoint: the mention table is materialized ONCE and the
+      // containment self-join reads it twice — without it both join
+      // sides would re-run the extraction kernel (2x the corpus scan)
       nestingJoin(Extract.run(s, nFilesFor(d)).toDF()
         .select(col("docId"), col("sentId"), col("start"), col("end"),
-          col("entType")))),
+          col("entType"))
+        .localCheckpoint())),
     "kg_eval" -> ((s, d) => {
       val n = nFilesFor(d)
       val st = Pipeline.run(s, n)

@@ -34,6 +34,10 @@ object TrainingDataQueries {
       .orderBy(col("doc_id"))
   }
 
+  private val winnowFp: Q = (s, d) =>
+    TextOps.winnowFingerprints(docs(s, d), "doc_id", "text")
+      .orderBy(col("doc"), col("fp"))
+
   private val dedupExactDocs: Q = (s, d) =>
     DedupOps.exactGroups(docs(s, d), "doc_id", "text")
       .orderBy(col("fingerprint"))
@@ -85,6 +89,7 @@ object TrainingDataQueries {
   val all: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "lang_id" -> langId,
+    "winnow_fp" -> winnowFp,
     "dedup_exact_docs" -> dedupExactDocs,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
@@ -215,6 +220,18 @@ object TrainingDataQueries {
          |    CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS mean_word_len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" -> langIdOracle,
+    "winnow_fp" ->
+      """WITH p AS (SELECT doc_id AS doc, text, length(text) - 7 AS n,
+        |    unnest(generate_series(1, length(text) - 7)) AS pos
+        |  FROM documents),
+        |g AS (SELECT doc, n, pos,
+        |    ('0x'||substr(md5(substring(text, pos, 8)),1,15))::BIGINT AS h
+        |  FROM p),
+        |w AS (SELECT doc, n, pos, min(h) OVER (PARTITION BY doc
+        |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g)
+        |SELECT DISTINCT doc, fp FROM w WHERE pos <= n - 3
+        |ORDER BY doc, fp""".stripMargin,
     "dedup_exact_docs" ->
       """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
         |  min(doc_id) AS rep_id, count(*) AS n_docs

@@ -128,6 +128,20 @@ class OpsSpec extends SparkSpec {
     assert(f1.forall(_.features.length == 8))
   }
 
+  test("winnowing guarantee: shared substring >= k+win-1 chars -> shared fingerprint") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "xxxx SHARED-SEGMENT-HERE yyyy"),
+      (2L, "aaaaaa SHARED-SEGMENT-HERE bb"),
+      (3L, "completely unrelated text zzz"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def of(id: Long) = fp.filter(_._1 == id).map(_._2).toSet
+    assert((of(1) & of(2)).nonEmpty, "shared segment must share a fingerprint")
+    assert((of(1) & of(3)).isEmpty)
+  }
+
   test("lang_id ties break lexicographically and 'und' when no hits") {
     import spark.implicits._
     val d = Seq((1L, "the der"), (2L, "xyzzy qwerty"))
