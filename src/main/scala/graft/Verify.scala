@@ -42,6 +42,18 @@ object Verify {
         .select("repo", "path", "commit", "lang", "content"), "corpus")
       w(graft.core.Vocab.canonicalOf.toSeq.sortBy(_._1)
         .toDF("entity", "canonical"), "canon")
+      // LSH hyperplanes: the ann_lsh oracle recomputes bucket
+      // assignment in DuckDB from this matrix
+      w(graft.ops.SimilarityOps.defaultTables().zipWithIndex.flatMap {
+        case (planes, t) => planes.zipWithIndex.map { case (v, p) =>
+          (t, p, v.toSeq) }
+      }.toSeq.toDF("tbl", "plane", "vec"), "lsh_planes")
+      // IVF centroids: the ann_ivf oracle recomputes assignment +
+      // probing in DuckDB from the trained quantizer
+      w(graft.ops.SimilarityOps.ivfTrain(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"))
+        .zipWithIndex.map { case (v, c) => (c, v.toSeq) }
+        .toSeq.toDF("cell", "vec"), "ivf_centroids")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] gold materialization failed: ${e.getMessage}")
     }

@@ -85,6 +85,13 @@ object SimilarityOps {
       }.toDF("vec_id", "embedding", "tbl", "bucket")
   }
 
+  /** The default multi-table plane set (seeds 11..11+n-1) — exposed so
+    * Verify can dump it to parquet and the DuckDB oracle can recompute
+    * the bucket assignment independently. */
+  def defaultTables(nPlanes: Int = 4, nTables: Int = 4,
+      dim: Int = 64): Array[Array[Array[Double]]] =
+    (0 until nTables).map(t => hyperplanes(nPlanes, dim, 11L + t)).toArray
+
   /** Multi-table LSH ANN: `nTables` independent hyperplane sets; a
     * candidate matches if it shares the query's bucket in ANY table
     * (classic recall amplification: 1-(1-p^r)^L). Candidates then get
@@ -93,8 +100,7 @@ object SimilarityOps {
     * which is the point at web scale. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
       nPlanes: Int = 4, nTables: Int = 4, dim: Int = 64): DataFrame = {
-    val tables = (0 until nTables)
-      .map(t => hyperplanes(nPlanes, dim, 11L + t)).toArray
+    val tables = defaultTables(nPlanes, nTables, dim)
     val withB = lshIndex(emb, tables)
     val q = withB.filter(queryPred)
       .select(col("vec_id").as("query_id"), dvec(col("embedding")).as("qv"),
@@ -123,8 +129,23 @@ object SimilarityOps {
     * hyperplane LSH recall is too angle-sensitive: cells adapt to the
     * data distribution. Centroids are a tiny dimension table —
     * broadcast both for assignment and probing. */
-  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
-      nCells: Int = 8, nProbe: Int = 2, iters: Int = 5): DataFrame = {
+  private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j) - cs(c)(j); d += t * t; j += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic k-means coarse quantizer (fixed seed picks, fixed
+    * iteration count). Exposed so Verify can dump the centroids and
+    * the DuckDB oracle can recompute assignment + probing. */
+  def ivfTrain(emb: DataFrame, nCells: Int = 8,
+      iters: Int = 5): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
@@ -134,17 +155,6 @@ object SimilarityOps {
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(nCells)
       .select("v").as[Seq[Double]].collect().map(_.toArray)
-    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bd = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var j = 0
-        while (j < v.length) { val t = v(j) - cs(c)(j); d += t * t; j += 1 }
-        if (d < bd) { bd = d; best = c }
-        c += 1
-      }
-      best
-    }
     (1 to iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(centroids)
       val sums = vecs.map { case (_, v) =>
@@ -157,6 +167,16 @@ object SimilarityOps {
         sums.get(c).map { case (s, n) => s.map(_ / n) }.getOrElse(centroids(c))
       }.toArray
     }
+    centroids
+  }
+
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 8, nProbe: Int = 2, iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])]
+    val centroids = ivfTrain(emb, nCells, iters)
     val bc = spark.sparkContext.broadcast(centroids)
     def cellDist(v: Array[Double], cs: Array[Double]): Double = {
       var d = 0.0; var j = 0

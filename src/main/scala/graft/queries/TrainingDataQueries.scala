@@ -239,6 +239,65 @@ object TrainingDataQueries {
     "dedup_jaccard" -> (shinglesCte + jaccardBody),
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
+    // the oracle recomputes cell assignment (exact same ascending
+    // squared-distance arithmetic) and nProbe=2 probing from the
+    // dumped trained centroids (_gold/ivf_centroids)
+    "ann_ivf" ->
+      """WITH c AS (SELECT cell, vec FROM
+        |    read_parquet('__OUTDIR__/_gold/ivf_centroids/*.parquet')),
+        |d AS (SELECT e.vec_id, c.cell,
+        |    list_aggregate(list_transform(generate_series(1, len(c.vec)),
+        |      i -> (e.embedding[i]::DOUBLE - c.vec[i]) *
+        |           (e.embedding[i]::DOUBLE - c.vec[i])), 'sum') AS dist
+        |  FROM embeddings e, c),
+        |a AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY dist, cell) AS rn FROM d) WHERE rn = 1),
+        |qp AS (SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY dist, cell) AS rn FROM d WHERE vec_id < 10)
+        |  WHERE rn <= 2),
+        |cand AS (SELECT DISTINCT qp.query_id, a.vec_id AS neighbor_id
+        |  FROM qp JOIN a ON qp.cell = a.cell AND a.vec_id <> qp.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      list_cosine_similarity(eq.embedding::DOUBLE[],
+        |                             ec.embedding::DOUBLE[]) DESC,
+        |      neighbor_id) AS rank
+        |  FROM cand
+        |  JOIN embeddings eq ON eq.vec_id = query_id
+        |  JOIN embeddings ec ON ec.vec_id = neighbor_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the oracle recomputes the sign-pattern buckets from the dumped
+    // hyperplane matrix (_gold/lsh_planes), builds the same candidate
+    // set, and ranks by exact cosine — fully independent of the Spark
+    // mapPartitions kernel path
+    "ann_lsh" ->
+      """WITH pl AS (SELECT * FROM
+        |    read_parquet('__OUTDIR__/_gold/lsh_planes/*.parquet')),
+        |b AS (SELECT e.vec_id, pl.tbl,
+        |    CAST(sum(CASE WHEN
+        |      list_inner_product(e.embedding::DOUBLE[], pl.vec) > 0
+        |      THEN 1 << pl.plane ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e, pl GROUP BY 1, 2),
+        |q AS (SELECT vec_id AS query_id, tbl, bucket FROM b
+        |      WHERE vec_id < 10),
+        |cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        |  FROM q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |    AND c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      list_cosine_similarity(eq.embedding::DOUBLE[],
+        |                             ec.embedding::DOUBLE[]) DESC,
+        |      neighbor_id) AS rank
+        |  FROM cand
+        |  JOIN embeddings eq ON eq.vec_id = query_id
+        |  JOIN embeddings ec ON ec.vec_id = neighbor_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_topk" ->
       """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
