@@ -1,5 +1,25 @@
 package graft
 
+/** The spark-submit entry point end-to-end (master comes from the
+  * session already running in tests, exactly as spark-submit would
+  * provide it): corpus parquet -> resumable pipeline -> graph tables. */
+class MainSpec extends SparkSpec {
+  test("graft.Main runs corpus -> resumable triples -> graph tables") {
+    val tmp = java.nio.file.Files.createTempDirectory("main").toString
+    graft.extract.Extract.corpus(spark, 80)
+      .write.mode("overwrite").parquet(s"$tmp/corpus")
+    Main.main(Array(s"$tmp/corpus", s"$tmp/work", "8", "snapA"))
+    val triples = spark.read.parquet(s"$tmp/work/graph/data")
+    assert(triples.count() > 0)
+    // idempotent restart: nothing recomputes, output unchanged
+    val before = triples.count()
+    Main.main(Array(s"$tmp/corpus", s"$tmp/work", "8", "snapA"))
+    assert(spark.read.parquet(s"$tmp/work/graph/data").count() == before)
+    assert(graft.sources.GraphTables.latestSnapshot(spark, s"$tmp/work/graph")
+      .contains("snapA"))
+  }
+}
+
 import graft.manifest.ResumablePipeline
 import graft.sources.GraphTables
 import org.apache.spark.sql.functions._
