@@ -108,6 +108,27 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Watermarked stream-stream inner join: events of the same user
+    * joined within a 5-minute range. Both join state stores are pruned
+    * by the watermark + the time-range condition — the state-bounding
+    * pattern a 100 TB streaming join needs (without the range bound,
+    * each side buffers forever). */
+  def streamStreamJoin(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.withColumn("a_ts", col("ts").cast("timestamp"))
+      .withWatermark("a_ts", "10 minutes")
+      .select(col("user_id"), col("a_ts"), col("event_id").as("a_id"))
+    val r = b.withColumn("b_ts", col("ts").cast("timestamp"))
+      .withWatermark("b_ts", "10 minutes")
+      .select(col("user_id").as("b_uid"), col("b_ts"),
+        col("event_id").as("b_id"))
+    l.join(r,
+      col("user_id") === col("b_uid") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES") &&
+        col("a_id") < col("b_id"))
+      .select(col("user_id"), col("a_id"), col("b_id"))
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, startMs: Long, endMs: Long,

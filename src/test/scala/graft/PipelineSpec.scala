@@ -18,6 +18,16 @@ class PipelineSpec extends SparkSpec {
     assert(n == N)
   }
 
+  test("sha256 invariant violation is DETECTED (corrupted row fails fast)") {
+    import spark.implicits._
+    val bad = Extract.corpus(spark, 10)
+      .map(f => if (f.path.contains("File3"))
+        f.copy(content = f.content + " tampered") else f)
+    intercept[IllegalArgumentException] {
+      Extract.verifyIntegrity(bad)
+    }
+  }
+
   test("distributed mentions == sequential ReferenceScorer twin (P=R=1)") {
     import spark.implicits._
     val dist = Extract.run(spark, N).toDF()

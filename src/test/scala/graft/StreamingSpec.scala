@@ -96,6 +96,22 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(man).count() == 2)
   }
 
+  test("watermarked stream-stream range join == batch join") {
+    val tmp = Files.createTempDirectory("stream-ssj").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .limit(2000)
+    ev.write.mode("overwrite").parquet(tmp)
+    def stream = spark.readStream.schema(ev.schema).parquet(tmp)
+    val q = StreamingPipeline.streamStreamJoin(stream, stream).writeStream
+      .outputMode("append").format("memory").queryName("ssj")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj").collect().map(_.toSeq).toSet
+    val want = StreamingPipeline.streamStreamJoin(ev, ev)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("gap sessionization with flatMapGroupsWithState") {
     import spark.implicits._
     def ts(m: Long) = new java.sql.Timestamp(m * 60000)
