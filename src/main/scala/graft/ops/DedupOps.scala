@@ -99,11 +99,15 @@ object DedupOps {
   /** MinHash signature columns mh0..mh15 from a posting table
     * (single agg pass). */
   def minhashSignaturesFromPostings(sh: DataFrame): DataFrame = {
-    val x = pmod(md5h60(col("ng")), lit(P30))
+    // hash ONCE per posting row in a projection BEFORE the aggregate:
+    // md5 inlined into each of the 16 min-aggs would be evaluated 16x
+    // per row (no cross-aggregate subexpression elimination)
+    val withX = sh.select(col("doc"),
+      pmod(md5h60(col("ng")), lit(P30)).as("x"))
     val aggs = (0 until NumHashes).map { i =>
-      min((x * (2 * i + 1) + (97 + 31 * i)) % PMOD).as(s"mh$i")
+      min((col("x") * (2 * i + 1) + (97 + 31 * i)) % PMOD).as(s"mh$i")
     }
-    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+    withX.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
   def minhashSignatures(docs: DataFrame, idCol: String,
@@ -142,12 +146,14 @@ object DedupOps {
   /** 32-bit SimHash per doc from distinct-token 60-bit hashes. */
   def simhashSignatures(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // hash once per token row (see minhashSignaturesFromPostings)
     val tok = docs.select(col(idCol).as("doc"),
       explode(array_distinct(TextOps.words(col(textCol)))).as("w"))
       .filter(length(col("w")) > 0)
-    val h = md5h60(col("w"))
+      .select(col("doc"), md5h60(col("w")).as("h"))
     val bitSums = (0 until 32).map { k =>
-      sum(when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$k")
     }
     tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc"),

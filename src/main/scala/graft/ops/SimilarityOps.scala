@@ -218,6 +218,28 @@ object SimilarityOps {
     * pair into one partition (the round-1 scale-killer; asserted fixed
     * in PlanSpec). The tiny rank window afterwards runs over exactly
     * `topN` already-collected rows. */
+  /** Embedding-cosine near-dup, thresholded + LSH-blocked: the scale
+    * path for "drop every pair more similar than t" over a corpus too
+    * big for the all-pairs join. Candidates = pairs sharing a bucket in
+    * ANY hyperplane table (same blocking as [[lshTopK]]); exact cosine
+    * runs on candidates only. Recall < 1 by design (the price of not
+    * joining all pairs); the DuckDB oracle recomputes the buckets from
+    * the dumped plane matrix so the result is value-exact anyway.
+    * Output is ids only (floats decide, never emitted). */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+      nPlanes: Int = 4, nTables: Int = 4, dim: Int = 64): DataFrame = {
+    val withB = lshIndex(emb, defaultTables(nPlanes, nTables, dim))
+    val a = withB.select(col("vec_id").as("d1"), col("embedding").as("v1"),
+      col("tbl").as("t1"), col("bucket").as("b1"))
+    val b = withB.select(col("vec_id").as("d2"), col("embedding").as("v2"),
+      col("tbl").as("t2"), col("bucket").as("b2"))
+    a.join(b, col("t1") === col("t2") && col("b1") === col("b2") &&
+        col("d1") < col("d2"))
+      .dropDuplicates("d1", "d2")
+      .filter(cosine(col("v1"), col("v2")) >= threshold)
+      .select(col("d1"), col("d2"))
+  }
+
   def topPairs(emb: DataFrame, sampleMod: Int, topN: Int): DataFrame = {
     val q = emb.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("id1"), dvec(col("embedding")).as("v1"))

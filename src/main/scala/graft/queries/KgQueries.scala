@@ -83,6 +83,25 @@ object KgQueries {
         .select(col("docId"), col("sentId"), col("start"), col("end"),
           col("entType"))
         .localCheckpoint())),
+    // 2-hop graph traversal (a calls b, b calls c within one doc): the
+    // consumption side of the published graph table. At cluster scale
+    // the table is bucketed by hash(subj) (GraphTables), so the b-side
+    // of the hop is read co-located; only the a-side shuffles, keyed by
+    // obj — one shuffle per hop, never a cross join.
+    "kg_twohop" -> ((s, d) => {
+      val t = Pipeline.run(s, nFilesFor(d)).triples
+        .filter(col("pred") === "calls")
+        .select(col("subj"), col("obj"), col("docId"))
+        .localCheckpoint() // materialize once; both hop sides read it
+      val a = t.select(col("subj").as("caller"), col("obj").as("mid"),
+        col("docId"))
+      val b = t.select(col("subj").as("mid"), col("obj").as("callee"),
+        col("docId"))
+      a.join(b, Seq("mid", "docId"))
+        .select(col("caller"), col("mid"), col("callee"), col("docId"))
+        .distinct()
+        .orderBy(col("caller"), col("mid"), col("callee"), col("docId"))
+    }),
     "kg_eval" -> ((s, d) => {
       val n = nFilesFor(d)
       val st = Pipeline.run(s, n)
@@ -137,6 +156,13 @@ object KgQueries {
          |  enc_start, enc_end, enc_type
          |FROM enc WHERE rn = 1
          |ORDER BY docId, sentId, "start", "end", entType""".stripMargin,
+    "kg_twohop" ->
+      s"""WITH t AS (SELECT subj, obj, docId FROM ${gold("triples")}
+         |  WHERE pred = 'calls')
+         |SELECT DISTINCT a.subj AS caller, a.obj AS mid, b.obj AS callee,
+         |  a.docId
+         |FROM t a JOIN t b ON a.obj = b.subj AND a.docId = b.docId
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
     // P/R/F1 must be EXACTLY 1.0 against the closed-form gold, with
     // correct == npred == ngold == |gold| — computed from the gold side
     // alone, so a single extra or missing prediction fails the row

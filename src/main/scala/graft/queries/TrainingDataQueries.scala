@@ -72,6 +72,13 @@ object TrainingDataQueries {
     SimilarityOps.lshTopK(emb(s, d), col("vec_id") < 10, 5)
       .orderBy(col("query_id"), col("rank"))
 
+  // threshold 0.3: the synthetic embeddings carry no planted dups, so
+  // the nearest pair to the cut sits >= 5e-7 away at every sf — far
+  // above cross-engine double-summation noise (~1e-14)
+  private val dedupCosine: Q = (s, d) =>
+    SimilarityOps.cosineNearDupPairs(emb(s, d), 0.3)
+      .orderBy(col("d1"), col("d2"))
+
   private val embedPairs: Q = (s, d) =>
     SimilarityOps.topPairs(emb(s, d), sampleMod = 10, topN = 20)
       .orderBy(col("rank"))
@@ -97,6 +104,7 @@ object TrainingDataQueries {
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "dedup_cosine" -> dedupCosine,
     "embed_pairs" -> embedPairs,
     "mm_features" -> mmFeatures)
 
@@ -317,6 +325,26 @@ object TrainingDataQueries {
         |                                     c -> ascii(c)), 'sum')
         |       AS BIGINT) AS byte_sum
         |FROM documents ORDER BY media_id""".stripMargin,
+    // same bucket recompute as ann_lsh (dumped plane matrix), then the
+    // exact-cosine threshold over candidates only — mirrors
+    // SimilarityOps.cosineNearDupPairs(0.3) blocking exactly
+    "dedup_cosine" ->
+      """WITH pl AS (SELECT * FROM
+        |    read_parquet('__OUTDIR__/_gold/lsh_planes/*.parquet')),
+        |b AS (SELECT e.vec_id, pl.tbl,
+        |    CAST(sum(CASE WHEN
+        |      list_inner_product(e.embedding::DOUBLE[], pl.vec) > 0
+        |      THEN 1 << pl.plane ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e, pl GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
+        |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+        |    AND a.vec_id < c.vec_id)
+        |SELECT d1, d2 FROM cand
+        |JOIN embeddings e1 ON e1.vec_id = d1
+        |JOIN embeddings e2 ON e2.vec_id = d2
+        |WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
+        |                             e2.embedding::DOUBLE[]) >= 0.3
+        |ORDER BY d1, d2""".stripMargin,
     "embed_pairs" ->
       """SELECT CAST(rank AS INT) AS rank, id1, id2 FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,

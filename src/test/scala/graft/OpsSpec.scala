@@ -98,6 +98,23 @@ class OpsSpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
+  test("cosine near-dup pairs: verified subset of all-pairs threshold, deterministic") {
+    val exact = emb.alias("a").join(emb.alias("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(SimilarityOps.cosine(
+        col("a.embedding").cast("array<double>"),
+        col("b.embedding").cast("array<double>")) >= 0.3)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.cosineNearDupPairs(emb, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "every emitted pair must pass the exact threshold")
+    assert(exact.nonEmpty && lsh.nonEmpty, s"exact=${exact.size} lsh=${lsh.size}")
+    val again = SimilarityOps.cosineNearDupPairs(emb, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == again)
+  }
+
   test("brute-force top-k is the true top-k (spot check vs local compute)") {
     val vecs = emb.collect().map { r =>
       r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray

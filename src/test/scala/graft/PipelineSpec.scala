@@ -94,6 +94,22 @@ class PipelineSpec extends SparkSpec {
     assert(m.count() == m.dropDuplicates(keys).count())
   }
 
+  test("kg_twohop == locally composed calls∘calls over the same triples") {
+    val df = graft.queries.KgQueries.all("kg_twohop")(spark, "sf0.001-ish")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    val calls = Pipeline.run(spark, 150).triples
+      .filter(col("pred") === "calls").collect()
+      .map(r => (r.getAs[String]("subj"), r.getAs[String]("obj"),
+        r.getAs[String]("docId")))
+    val want = (for {
+      (s1, o1, d1) <- calls; (s2, o2, d2) <- calls
+      if o1 == s2 && d1 == d2
+    } yield (s1, o1, o2, d1)).toSet
+    assert(got == want && got.nonEmpty, s"got=${got.size} want=${want.size}")
+  }
+
   test("linking resolves snake_case call-site aliases") {
     import spark.implicits._
     val st = Pipeline.run(spark, 60)
