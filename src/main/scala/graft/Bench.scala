@@ -72,13 +72,19 @@ object Bench {
       Pipeline.run(spark, 2000).triples.count()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     }
+    // best-of-`trials` per query, cache cleared between trials: a
+    // single bursty-steal window on the shared host otherwise corrupts
+    // that query's number for the whole round (observed 2x)
     val qTimes = (if (skipHeadline) Seq.empty[String] else headline).map { n =>
-      val (_, t) = time {
-        try SparkEntry.queries(n)(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $n failed: ${e.getMessage}"); -1L }
+      val ts = (1 to trials).map { _ =>
+        spark.catalog.clearCache()
+        time {
+          try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $n failed: ${e.getMessage}"); -1L }
+        }._2
       }
-      n -> t
+      n -> ts.min
     }
     // data prep (untimed): materialize the source table once
     if (!Files.exists(Paths.get(corpusPath))) {

@@ -43,6 +43,19 @@ object GraphTables {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/data")
 
+  /** Out-edges of one canonical entity under one predicate — the
+    * point-lookup the bucket layout exists for. `bucketCol(lit(subj))`
+    * is constant-foldable, so both `pred` and `bucket` land in the
+    * scan's PartitionFilters: of pred×16 partition dirs the read
+    * touches exactly ONE, regardless of table size (asserted in
+    * GraphSinkSpec). */
+  def entityEdges(spark: SparkSession, path: String, pred: String,
+      subj: String): DataFrame =
+    read(spark, path)
+      .filter(col("pred") === pred &&
+        col("bucket") === bucketCol(lit(subj)) &&
+        col("subj") === subj)
+
   def latestSnapshot(spark: SparkSession, path: String): Option[String] = {
     val m = spark.read.parquet(s"$path/manifest")
     m.orderBy(col("committedAt").desc).select(col("snapshotId"))

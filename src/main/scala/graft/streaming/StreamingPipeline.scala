@@ -108,6 +108,20 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming exact-dedup by content fingerprint — the streaming
+    * member of the dedup family (DedupOps.exactGroups is the batch
+    * twin). dropDuplicatesWithinWatermark keeps the seen-fingerprint
+    * state only within the watermark delay, so the state store is
+    * bounded by ingest-rate x delay at any corpus size — a plain
+    * dropDuplicates on a stream would grow state forever. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .withColumn("fingerprint",
+        graft.ops.TextOps.fingerprint(col("text")))
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Watermarked stream-stream inner join: events of the same user
     * joined within a 5-minute range. Both join state stores are pruned
     * by the watermark + the time-range condition — the state-bounding

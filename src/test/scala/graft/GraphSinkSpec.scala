@@ -48,6 +48,24 @@ class GraphSinkSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("entity point-lookup prunes to a single pred+bucket partition") {
+    val tmp = Files.createTempDirectory("graphlk").toString
+    val st = Pipeline.run(spark, 100)
+    GraphTables.write(st.triples, tmp, "snap-1")
+    val subj = st.triples.filter(col("pred") === "calls")
+      .select("subj").head().getString(0)
+    val edges = GraphTables.entityEdges(spark, tmp, "calls", subj)
+    edges.collect()
+    val p = edges.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(pred"), p.take(1200))
+    assert(p.contains("(bucket"), "bucket must be a partition filter:\n" +
+      p.take(1200))
+    // pruned lookup == unpruned filter
+    val want = GraphTables.read(spark, tmp)
+      .filter(col("pred") === "calls" && col("subj") === subj).count()
+    assert(edges.count() == want && want > 0)
+  }
+
   test("resumable pipeline: restart computes only missing buckets") {
     val tmp = Files.createTempDirectory("respipe").toString
     val corpus = s"$tmp/corpus"; val out = s"$tmp/out"; val man = s"$tmp/man"

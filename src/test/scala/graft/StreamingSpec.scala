@@ -96,6 +96,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(man).count() == 2)
   }
 
+  test("streaming fingerprint dedup == batch exact-dedup group count") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("stream-dd").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = (0 until 60).map { i =>
+      // 20 distinct texts, each appearing 3x (case/punct variants that
+      // normalize to the same fingerprint)
+      val v = i % 3 match {
+        case 0 => s"doc number ${i % 20} body"
+        case 1 => s"DOC NUMBER ${i % 20} BODY"
+        case _ => s"doc-number ${i % 20} body!"
+      }
+      (new java.sql.Timestamp(base.getTime + i * 1000L), i.toLong, v)
+    }
+    rows.toDF("ts", "doc_id", "text").write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val q = StreamingPipeline.dedupStream(
+      spark.readStream.schema(schema).parquet(tmp)).writeStream
+      .outputMode("append").format("memory").queryName("dd")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dd")
+    assert(out.count() == 20, s"got ${out.count()}")
+    assert(out.select("fingerprint").distinct().count() == 20)
+    val batchGroups = graft.ops.DedupOps
+      .exactGroups(spark.read.parquet(tmp), "doc_id", "text").count()
+    assert(out.count() == batchGroups)
+  }
+
   test("watermarked stream-stream range join == batch join") {
     val tmp = Files.createTempDirectory("stream-ssj").toString
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
