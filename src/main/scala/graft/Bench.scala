@@ -57,7 +57,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleFiles = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILES", "320000").toLong
-    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "4").toInt
+    val trials = math.max(1, sys.env.getOrElse("SPARK_GRAFT_TRIALS", "4").toInt)
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val skipHeadline = sys.env.contains("SPARK_GRAFT_SKIP_HEADLINE")
     // content-versioned cache key: a generator/grammar change must not
@@ -76,15 +76,18 @@ object Bench {
     // single bursty-steal window on the shared host otherwise corrupts
     // that query's number for the whole round (observed 2x)
     val qTimes = (if (skipHeadline) Seq.empty[String] else headline).map { n =>
-      val ts = (1 to trials).map { _ =>
+      val ts = (1 to trials).flatMap { _ =>
         spark.catalog.clearCache()
-        time {
-          try SparkEntry.queries(n)(spark, sfDir).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $n failed: ${e.getMessage}"); -1L }
-        }._2
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(n)(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          // a fast-failing trial must NOT win the min — only successful
+          // trials count; -1 marks a query whose every trial failed
+          System.err.println(s"[bench] $n failed: ${e.getMessage}"); None }
       }
-      n -> ts.min
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     // data prep (untimed): materialize the source table once
     if (!Files.exists(Paths.get(corpusPath))) {

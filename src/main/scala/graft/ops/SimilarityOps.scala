@@ -101,7 +101,9 @@ object SimilarityOps {
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
       nPlanes: Int = 4, nTables: Int = 4, dim: Int = 64): DataFrame = {
     val tables = defaultTables(nPlanes, nTables, dim)
-    val withB = lshIndex(emb, tables)
+    // cache: both join sides project the same mapPartitions hashing
+    // pass — uncached it would hash every embedding twice
+    val withB = lshIndex(emb, tables).cache()
     val q = withB.filter(queryPred)
       .select(col("vec_id").as("query_id"), dvec(col("embedding")).as("qv"),
         col("tbl").as("qt"), col("bucket").as("qb"))
@@ -228,7 +230,8 @@ object SimilarityOps {
     * Output is ids only (floats decide, never emitted). */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
       nPlanes: Int = 4, nTables: Int = 4, dim: Int = 64): DataFrame = {
-    val withB = lshIndex(emb, defaultTables(nPlanes, nTables, dim))
+    // cache: see lshTopK — the self-join reads the hashing pass twice
+    val withB = lshIndex(emb, defaultTables(nPlanes, nTables, dim)).cache()
     val a = withB.select(col("vec_id").as("d1"), col("embedding").as("v1"),
       col("tbl").as("t1"), col("bucket").as("b1"))
     val b = withB.select(col("vec_id").as("d2"), col("embedding").as("v2"),

@@ -83,11 +83,14 @@ object KgQueries {
         .select(col("docId"), col("sentId"), col("start"), col("end"),
           col("entType"))
         .localCheckpoint())),
-    // 2-hop graph traversal (a calls b, b calls c within one doc): the
-    // consumption side of the published graph table. At cluster scale
-    // the table is bucketed by hash(subj) (GraphTables), so the b-side
-    // of the hop is read co-located; only the a-side shuffles, keyed by
-    // obj — one shuffle per hop, never a cross join.
+    // 2-hop graph traversal (a calls b, b calls c within one doc).
+    // Here both sides are projections of the freshly-computed triple
+    // set, so the equi-join on (mid, docId) shuffles both — an
+    // equi-join on the hop key, never a cross join. At cluster scale
+    // the consumption path reads the PUBLISHED table instead
+    // (GraphTables: bucketed by hash(subj), so the b-side arrives
+    // co-located and single-entity hops are bucket-pruned point
+    // lookups — entityEdges, asserted in GraphSinkSpec).
     "kg_twohop" -> ((s, d) => {
       val t = Pipeline.run(s, nFilesFor(d)).triples
         .filter(col("pred") === "calls")

@@ -123,6 +123,19 @@ object TrainingDataQueries {
       |FROM tt)
       |""".stripMargin
 
+  // bucket recompute from the dumped hyperplane matrix — the ONE
+  // blocking definition shared by the ann_lsh and dedup_cosine oracles
+  // (mirrors SimilarityOps.lshIndex: d > 0 sign test, 1 << plane)
+  private val lshBucketCte =
+    """WITH pl AS (SELECT * FROM
+      |    read_parquet('__OUTDIR__/_gold/lsh_planes/*.parquet')),
+      |b AS (SELECT e.vec_id, pl.tbl,
+      |    CAST(sum(CASE WHEN
+      |      list_inner_product(e.embedding::DOUBLE[], pl.vec) > 0
+      |      THEN 1 << pl.plane ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e, pl GROUP BY 1, 2),
+      |""".stripMargin
+
   // candidate generation over df-cut postings, exact verification over
   // the full postings — mirrors DedupOps.jaccardPairs(maxDf=200)
   private val jaccardBody =
@@ -283,15 +296,8 @@ object TrainingDataQueries {
     // hyperplane matrix (_gold/lsh_planes), builds the same candidate
     // set, and ranks by exact cosine — fully independent of the Spark
     // mapPartitions kernel path
-    "ann_lsh" ->
-      """WITH pl AS (SELECT * FROM
-        |    read_parquet('__OUTDIR__/_gold/lsh_planes/*.parquet')),
-        |b AS (SELECT e.vec_id, pl.tbl,
-        |    CAST(sum(CASE WHEN
-        |      list_inner_product(e.embedding::DOUBLE[], pl.vec) > 0
-        |      THEN 1 << pl.plane ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM embeddings e, pl GROUP BY 1, 2),
-        |q AS (SELECT vec_id AS query_id, tbl, bucket FROM b
+    "ann_lsh" -> (lshBucketCte +
+      """q AS (SELECT vec_id AS query_id, tbl, bucket FROM b
         |      WHERE vec_id < 10),
         |cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
         |  FROM q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
@@ -305,7 +311,7 @@ object TrainingDataQueries {
         |  JOIN embeddings eq ON eq.vec_id = query_id
         |  JOIN embeddings ec ON ec.vec_id = neighbor_id)
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "ann_topk" ->
       """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -328,15 +334,8 @@ object TrainingDataQueries {
     // same bucket recompute as ann_lsh (dumped plane matrix), then the
     // exact-cosine threshold over candidates only — mirrors
     // SimilarityOps.cosineNearDupPairs(0.3) blocking exactly
-    "dedup_cosine" ->
-      """WITH pl AS (SELECT * FROM
-        |    read_parquet('__OUTDIR__/_gold/lsh_planes/*.parquet')),
-        |b AS (SELECT e.vec_id, pl.tbl,
-        |    CAST(sum(CASE WHEN
-        |      list_inner_product(e.embedding::DOUBLE[], pl.vec) > 0
-        |      THEN 1 << pl.plane ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM embeddings e, pl GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
+    "dedup_cosine" -> (lshBucketCte +
+      """cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
         |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
         |    AND a.vec_id < c.vec_id)
         |SELECT d1, d2 FROM cand
@@ -344,7 +343,7 @@ object TrainingDataQueries {
         |JOIN embeddings e2 ON e2.vec_id = d2
         |WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
         |                             e2.embedding::DOUBLE[]) >= 0.3
-        |ORDER BY d1, d2""".stripMargin,
+        |ORDER BY d1, d2""".stripMargin),
     "embed_pairs" ->
       """SELECT CAST(rank AS INT) AS rank, id1, id2 FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
