@@ -61,8 +61,16 @@ object Bench {
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val skipHeadline = sys.env.contains("SPARK_GRAFT_SKIP_HEADLINE")
     // content-versioned cache key: a generator/grammar change must not
-    // silently reuse a stale materialized corpus from a previous round
-    val corpusVer = graft.core.CorpusGen.file(0L).source.sha256.take(8)
+    // silently reuse a stale materialized corpus from a previous round.
+    // Several probe files are hashed (not just file 0) so a change that
+    // happens to leave one file's content intact still rolls the key.
+    val corpusVer = {
+      val probe = Seq(0L, 1L, 12345L, 271828L)
+        .map(i => graft.core.CorpusGen.file(i).source.sha256).mkString
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(probe.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    }
     val corpusPath = s"/tmp/graft_bench_corpus_${scaleFiles}_$corpusVer"
 
     // 1: headline queries at `cpus` (after a JIT/codegen warm-up so
@@ -121,7 +129,8 @@ object Bench {
     val scJson = scaling.map { case (n, cnt, t, tps) =>
       s""""local_$n":{"triples":$cnt,"sec":$t,"triples_per_sec":$tps}"""
     }.mkString("{", ",", s""","efficiency":$eff}""")
-    val total = qTimes.map(_._2).sum + tPipe
+    // -1 marks an all-trials-failed query; it must not DEFLATE the total
+    val total = qTimes.map(_._2).filter(_ >= 0).sum + tPipe
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
         s""""sf":"$sfDir","triples_per_sec":$tpsCpus,""" +

@@ -1,5 +1,6 @@
 package graft
 
+import graft.extract.Extract
 import graft.manifest.ResumablePipeline
 import graft.sources.GraphTables
 import org.apache.spark.sql.SparkSession
@@ -34,6 +35,12 @@ object Main {
     val spark = SparkSession.builder()
       .appName("graft-kg-construct")
       .getOrCreate()
+    // stage 1 of the advertised contract: the per-row sha256 content
+    // invariant is verified against the source table (throws on the
+    // first tampered/corrupted row) BEFORE anything is extracted
+    import spark.implicits._
+    Extract.verifyIntegrity(
+      spark.read.parquet(corpus).as[graft.core.SourceFileHashed])
     val computed = ResumablePipeline.run(spark, corpus,
       s"$work/triples", s"$work/manifest", nBuckets, snapshotId)
     val triples = ResumablePipeline.readTriples(spark, s"$work/triples")

@@ -27,7 +27,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // queries that cache internally (dedup postings, LSH index)
+        // must not pin executor storage for the remaining 39 queries
+        spark.catalog.clearCache()
     }
     // closed-form gold for the kg_* oracles (same corpus slice the
     // kg queries ran on)

@@ -47,11 +47,17 @@ object EncodingCache {
     import spark.implicits._
     val bw = spark.sparkContext.broadcast(Weights.default)
     val enc = spark.read.parquet(path).as[EncRow]
+    // left_outer + fail-fast: an inner join would silently DROP any
+    // sentence missing from the cache (stale cache after a corpus or
+    // tokenizer change) and downstream P/R would degrade with no error
     sents.joinWith(enc,
-      sents("docId") === enc("docId") && sents("sentId") === enc("sentId"))
+      sents("docId") === enc("docId") && sents("sentId") === enc("sentId"),
+      "left_outer")
       .mapPartitions { it =>
         val w = bw.value
         it.flatMap { case (s, e) =>
+          require(e != null, s"encoding cache at $path has no row for " +
+            s"(${s.docId}, ${s.sentId}) — stale cache? rewrite it")
           TriaffineScorer.toMentions(s.docId, s.sentId,
             s.tokens.toIndexedSeq,
             TriaffineScorer.scoreEncoded(e.enc, w))

@@ -44,6 +44,9 @@ object TriaffineScorer extends Serializable {
 
   /** Per-thread scratch buffers (no per-sentence allocation). */
   private final class Workspace(w: Weights) {
+    // identity of the Weights this workspace's sparse head/tail views
+    // were built from — workspace(w) rebuilds on a different instance
+    val forWeights: Weights = w
     val nt: Int = TypeDict.numTypes + 1
     val x = Array.ofDim[Double](MaxN, w.dim)
     val h = Array.ofDim[Double](MaxN, w.hDim)
@@ -97,7 +100,13 @@ object TriaffineScorer extends Serializable {
   private val wsCache = new ThreadLocal[Workspace]
   private def workspace(w: Weights): Workspace = {
     var ws = wsCache.get()
-    if (ws == null) { ws = new Workspace(w); wsCache.set(ws) }
+    // rebuild on a DIFFERENT Weights instance: the workspace bakes in
+    // the sparse head/tail VALUES, and reusing them for other weights
+    // would silently score with stale rows. The hot path passes one
+    // broadcast instance per partition, so the rebuild never fires there.
+    if (ws == null || (ws.forWeights ne w)) {
+      ws = new Workspace(w); wsCache.set(ws)
+    }
     ws
   }
 
@@ -253,6 +262,11 @@ object TriaffineScorer extends Serializable {
   /** Score from a cached [[encodeSentence]] payload — bit-identical to
     * [[scoreSentence]] on the same sentence (asserted in tests). */
   def scoreEncoded(flat: Array[Double], w: Weights): Seq[ScoredSpan] = {
+    // a cache written under different Weights dims would slice at wrong
+    // offsets and yield garbage scores — fail instead
+    require(flat.length % w.dim == 0,
+      s"cached encoding length ${flat.length} is not a multiple of " +
+        s"dim ${w.dim} — cache written under different Weights?")
     val n = flat.length / w.dim - 2
     if (n <= 0) return Nil
     val ws = workspace(w)

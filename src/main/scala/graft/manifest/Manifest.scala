@@ -65,8 +65,11 @@ object ResumableStage {
     val todo = (0 until nBuckets).filterNot(done.contains)
     if (todo.isEmpty) return 0
     val pending = compute(todo)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // per-WRITE dynamic overwrite (writer option, not a session conf —
+    // a session-wide set would silently turn every later Overwrite
+    // write in the same session into a partial overwrite)
     pending.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(outPath)
     // per-bucket stats come from the data ACTUALLY WRITTEN (read back
     // from outPath) — the pipeline executes exactly once per run, and

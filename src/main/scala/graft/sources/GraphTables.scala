@@ -28,7 +28,11 @@ object GraphTables {
   def write(triples: DataFrame, path: String, snapshotId: String): Unit = {
     val spark = triples.sparkSession
     val withB = triples.withColumn("bucket", bucketCol(col("subj")))
+    // explicit STATIC overwrite: this publish replaces the whole table,
+    // including (pred, bucket) partitions absent from the new snapshot
+    // — immune to any dynamic-overwrite session conf set elsewhere
     withB.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
       .partitionBy("pred", "bucket").parquet(s"$path/data")
     val stats = withB
       .withColumn("h", xxhash64(col("subj"), col("pred"), col("obj"), col("docId")))

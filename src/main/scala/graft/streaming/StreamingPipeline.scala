@@ -62,9 +62,12 @@ object StreamingPipeline {
     import spark.implicits._
     val cached = triples.cache()
     try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // per-WRITE dynamic overwrite (writer option, not a session conf
+      // — see ResumableStage.runWith)
       cached.withColumn("batchId", lit(batchId))
-        .write.mode("overwrite").partitionBy("batchId").parquet(outPath)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batchId").parquet(outPath)
       val st = cached
         .withColumn("h", xxhash64(col("subj"), col("pred"),
           col("obj"), col("docId")))
@@ -73,7 +76,9 @@ object StreamingPipeline {
       Seq((f"batch$batchId%05d", st.getLong(0), st.getString(1),
         System.currentTimeMillis(), batchId))
         .toDF("stage", "rowCount", "contentHash", "committedAt", "batchId")
-        .write.mode("overwrite").partitionBy("batchId").parquet(manifestPath)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batchId").parquet(manifestPath)
     } finally { cached.unpersist(); () }
   }
 
@@ -135,11 +140,15 @@ object StreamingPipeline {
       .withWatermark("b_ts", "10 minutes")
       .select(col("user_id").as("b_uid"), col("b_ts"),
         col("event_id").as("b_id"))
+    // each unordered pair is emitted exactly once: via (a=earlier,
+    // b=later) when timestamps differ, by id order on ties. A plain
+    // a_id < b_id here would silently DROP pairs whose earlier event
+    // has the larger id (the reverse direction fails b_ts >= a_ts).
     l.join(r,
       col("user_id") === col("b_uid") &&
         col("b_ts") >= col("a_ts") &&
         col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES") &&
-        col("a_id") < col("b_id"))
+        (col("b_ts") > col("a_ts") || col("a_id") < col("b_id")))
       .select(col("user_id"), col("a_id"), col("b_id"))
   }
 

@@ -48,6 +48,25 @@ class GraphSinkSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("graph-table publish is a FULL overwrite even under a dynamic-overwrite session conf") {
+    val tmp = Files.createTempDirectory("graphow").toString
+    val st = Pipeline.run(spark, 100)
+    GraphTables.write(st.triples, tmp, "snap-1")
+    assert(GraphTables.read(spark, tmp)
+      .filter(col("pred") === "imports").count() > 0)
+    // leak the conf the way a buggy caller would, then republish a
+    // snapshot with a whole predicate missing
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      GraphTables.write(st.triples.filter(col("pred") =!= "imports"),
+        tmp, "snap-2")
+      val left = GraphTables.read(spark, tmp)
+        .filter(col("pred") === "imports").count()
+      assert(left == 0,
+        s"stale imports partition survived the full overwrite: $left rows")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("entity point-lookup prunes to a single pred+bucket partition") {
     val tmp = Files.createTempDirectory("graphlk").toString
     val st = Pipeline.run(spark, 100)
@@ -86,6 +105,11 @@ class GraphSinkSpec extends SparkSpec {
     }
     val n2 = ResumablePipeline.run(spark, corpus, out, man, nBuckets = 8)
     assert(n2 == 4, s"recomputed $n2")
+    // the resumable write must use a per-write option, never leak a
+    // session-wide dynamic-overwrite conf to later writers
+    assert(spark.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      .equalsIgnoreCase("static"))
     val resumed = ResumablePipeline.readTriples(spark, out)
       .orderBy("subj", "pred", "obj", "docId").collect()
     assert(resumed.sameElements(full))

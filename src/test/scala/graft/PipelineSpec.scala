@@ -85,6 +85,14 @@ class PipelineSpec extends SparkSpec {
       .collect().map(m => (m.docId, m.sentId, m.start, m.end, m.entType,
         m.score, m.surface, m.nextTok)).toSet
     assert(cached == direct && direct.nonEmpty)
+    // a STALE cache (sentences not present in it) must fail fast, not
+    // silently drop the uncached sentences
+    val more = Extract.sentences(Extract.corpus(spark, 50))
+    val ex = intercept[org.apache.spark.SparkException] {
+      EncodingCache.mentions(more, tmp).count()
+    }
+    assert(ex.getMessage.contains("stale cache") ||
+      Option(ex.getCause).exists(_.getMessage.contains("stale cache")))
   }
 
   test("mentions are unique per span (no dedup shuffle needed)") {

@@ -141,6 +141,21 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("range-join pairs are id-order-insensitive (earlier event, larger id)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2026-01-01 00:00:00"), 9L), // earlier but LARGER id
+      (1L, ts("2026-01-01 00:01:00"), 2L),
+      (1L, ts("2026-01-01 00:01:00"), 3L), // ts tie -> id order
+      (2L, ts("2026-01-01 00:00:00"), 1L),
+      (2L, ts("2026-01-01 00:30:00"), 4L)) // out of range
+      .toDF("user_id", "ts", "event_id")
+    val got = StreamingPipeline.streamStreamJoin(ev, ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 9L, 2L), (1L, 9L, 3L), (1L, 2L, 3L)), s"$got")
+  }
+
   test("gap sessionization with flatMapGroupsWithState") {
     import spark.implicits._
     def ts(m: Long) = new java.sql.Timestamp(m * 60000)
