@@ -30,13 +30,32 @@ object AliasMining {
 
   /** (src, dst) entity edges from linked identifier mentions whose
     * surfaces share a normalized key. Star per key (min entity as hub)
-    * keeps the edge count linear. */
-  def mentionAliasEdges(linked: DataFrame): DataFrame =
-    linked.filter(col("entType") === "identifier")
+    * keeps the edge count linear. The hub is a window min over the key
+    * — rows stay NARROW and the window buffer spills to disk on a hot
+    * key, where a collect_set of a hot key's entities would buffer
+    * millions of entities in ONE in-memory array on one reducer. */
+  def mentionAliasEdges(linked: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val out = linked.filter(col("entType") === "identifier")
       .select(normKey(col("surface")).as("k"), col("entity"))
       .distinct()
-      .groupBy(col("k"))
-      .agg(min(col("entity")).as("src"), collect_set(col("entity")).as("all"))
-      .select(col("src"), explode(col("all")).as("dst"))
-      .filter(col("src") =!= col("dst"))
+      .withColumn("src", min(col("entity")).over(Window.partitionBy(col("k"))))
+      .filter(col("src") =!= col("entity"))
+      .select(col("src"), col("entity").as("dst"))
+      // materialize: the edge table is vocabulary-sized and re-read
+      // every CC round
+      .localCheckpoint()
+    // Re-declare the true non-null schema: `src`/`dst` are entity ids
+    // and provably non-null, but the window-min alias marks them
+    // nullable — and a nullable column unioned with the dictionary
+    // star's non-null `dst` widens the union's nullability, which flips
+    // downstream constraint shapes inside the CC loop and trips a
+    // Catalyst bug (UnionBase.rewriteConstraints key-not-found). The
+    // RDD round-trip applies the schema and reuses the checkpointed
+    // blocks.
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    out.sparkSession.createDataFrame(out.rdd, StructType(Seq(
+      StructField("src", StringType, nullable = false),
+      StructField("dst", StringType, nullable = false))))
+  }
 }

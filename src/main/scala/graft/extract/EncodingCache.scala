@@ -3,6 +3,7 @@ package graft.extract
 import graft.core.{Mention, Sentence}
 import graft.kernel.{TriaffineScorer, Weights}
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Frozen-encoder cache (SURVEY S3): materialize per-sentence encoder
   * output to a parquet table keyed by (docId, sentId), then score from
@@ -19,7 +20,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object EncodingCache {
 
-  final case class EncRow(docId: String, sentId: Int, enc: Array[Double])
+  // dim rides along so a reader under DIFFERENT Weights dims fails fast
+  // (a wrong dim that happens to divide the payload length would
+  // otherwise slice at wrong offsets and score garbage silently)
+  final case class EncRow(docId: String, sentId: Int, dim: Int,
+      enc: Array[Double])
 
   /** Materialize encoder outputs, keyed by (docId, sentId). */
   def write(sents: Dataset[Sentence], path: String): Unit = {
@@ -29,7 +34,7 @@ object EncodingCache {
     sents.mapPartitions { it =>
       val w = bw.value
       it.map { s =>
-        EncRow(s.docId, s.sentId,
+        EncRow(s.docId, s.sentId, w.dim,
           TriaffineScorer.encodeSentence(
             s.tokens.toIndexedSeq, s.pos.toIndexedSeq,
             s.ltokens.toIndexedSeq, s.lpos.toIndexedSeq,
@@ -47,6 +52,14 @@ object EncodingCache {
     import spark.implicits._
     val bw = spark.sparkContext.broadcast(Weights.default)
     val enc = spark.read.parquet(path).as[EncRow]
+    // duplicate keys would silently DUPLICATE mentions via join
+    // multiplicity (double-written cache dir) — one cheap probe over
+    // the cache table (far smaller than re-encoding the corpus)
+    val dups = enc.groupBy(col("docId"), col("sentId")).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dups == 0,
+      s"encoding cache at $path has duplicate (docId, sentId) keys — " +
+        "double-written cache? rewrite it")
     // left_outer + fail-fast: an inner join would silently DROP any
     // sentence missing from the cache (stale cache after a corpus or
     // tokenizer change) and downstream P/R would degrade with no error
@@ -58,6 +71,9 @@ object EncodingCache {
         it.flatMap { case (s, e) =>
           require(e != null, s"encoding cache at $path has no row for " +
             s"(${s.docId}, ${s.sentId}) — stale cache? rewrite it")
+          require(e.dim == w.dim,
+            s"encoding cache at $path was written under dim ${e.dim}, " +
+              s"reader Weights has dim ${w.dim} — rewrite the cache")
           TriaffineScorer.toMentions(s.docId, s.sentId,
             s.tokens.toIndexedSeq,
             TriaffineScorer.scoreEncoded(e.enc, w))

@@ -28,14 +28,21 @@ object Extract {
     spark.range(nFiles).map(id => CorpusGen.file(id).source)
   }
 
-  /** Verify the per-row sha256 invariant; throws on first violation. */
+  /** Verify the per-row sha256 invariant; throws if any row violates
+    * it. ONE pass over the corpus (total + violation counts in a single
+    * aggregate) — at 100 TB a second full scan just for the row count
+    * would double the cost of the pipeline's entry gate. */
   def verifyIntegrity(files: Dataset[SourceFileHashed]): Long = {
     import files.sparkSession.implicits._
-    val bad = files
-      .filter(f => CorpusGen.sha256Hex(f.content) != f.sha256)
-      .count()
+    import org.apache.spark.sql.functions._
+    val row = files
+      .map(f =>
+        if (CorpusGen.sha256Hex(f.content) != f.sha256) 1L else 0L)
+      .toDF("bad")
+      .agg(count(lit(1)).as("n"), sum(col("bad")).as("nbad")).head()
+    val bad = if (row.isNullAt(1)) 0L else row.getLong(1)
     require(bad == 0, s"sha256 invariant violated on $bad rows")
-    files.count()
+    row.getLong(0)
   }
 
   /** content -> per-line sentences (flatMap, narrow). */

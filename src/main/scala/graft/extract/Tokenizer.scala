@@ -34,13 +34,19 @@ object Tokenizer {
         (if (tok.head.isUpper) Typeish else Ident)
       else punct.getOrElse(tok, POther))
 
-  /** Tokenize one line. Doc-comment lines (starting with a doc-comment
-    * opener or `#`) are whitespace-split with DOC/DOCCAP tags; code
-    * lines use the regex. */
-  def tokenizeLine(line: String): (Array[String], Array[String]) = {
+  /** Tokenize one line. Doc-comment lines (starting with a slash-star
+    * doc opener or `#`, or inside an open doc block per `inDocBlock`)
+    * are whitespace-split with DOC/DOCCAP tags; code lines use the
+    * regex. A bare leading `*` is NOT a doc marker by itself — on
+    * arbitrary text a `*args,` continuation or pointer line would
+    * otherwise lose its identifiers and gain spurious doc_entity
+    * mentions; only block state (tracked by [[sentences]]) makes `*`
+    * lines doc. */
+  def tokenizeLine(line: String,
+      inDocBlock: Boolean = false): (Array[String], Array[String]) = {
     val t = line.trim
     if (t.isEmpty) (Array.empty, Array.empty)
-    else if (t.startsWith("/**") || t.startsWith("#") || t.startsWith("*")) {
+    else if (inDocBlock || t.startsWith("/**") || t.startsWith("#")) {
       val toks = wsPat.split(t)
       val tags = toks.map { w =>
         if (w.head.isUpper && w.forall(c => c.isLetterOrDigit) &&
@@ -71,7 +77,17 @@ object Tokenizer {
     * (text_encoder.py:316-390). Adjacency is by raw line index, so a
     * blank separator deterministically breaks context. */
   def sentences(docId: String, content: String): Seq[Sentence] = {
-    val lines = content.split("\n", -1).map(tokenizeLine)
+    // /** ... */ block state: a bare `*`/`*/` continuation line is doc
+    // only while a /** block is open (single-line /** ... */ never opens)
+    var inDoc = false
+    val lines = content.split("\n", -1).map { line =>
+      val t = line.trim
+      val isDoc = inDoc
+      if (t.contains("/**") &&
+        !t.substring(t.indexOf("/**") + 3).contains("*/")) inDoc = true
+      else if (inDoc && t.contains("*/")) inDoc = false
+      tokenizeLine(line, isDoc)
+    }
     lines.iterator.zipWithIndex.flatMap { case ((toks, tags), i) =>
       if (toks.isEmpty) None
       else {

@@ -115,13 +115,23 @@ object TriaffineScorer extends Serializable {
     * so the vector of a token is computed once per executor thread, not
     * once per occurrence. Bounded to keep executor memory flat at
     * 100 TB scale. */
-  private val embedCache = new ThreadLocal[java.util.LinkedHashMap[String, Array[Double]]] {
-    override def initialValue() =
-      new java.util.LinkedHashMap[String, Array[Double]](1024, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Array[Double]]): Boolean =
-          size() > 65536
-      }
+  // token-vector LRU keyed by the Weights identity it was built under —
+  // like Workspace, stale vectors from a previous Weights instance must
+  // never be reused (wrong dims AIOOBE, or silently wrong scores)
+  private final class EmbedCache(val forWeights: Weights) {
+    val map = new java.util.LinkedHashMap[String, Array[Double]](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Double]]): Boolean =
+        size() > 65536
+    }
+  }
+  private val embedCacheTL = new ThreadLocal[EmbedCache]
+  private def embedCacheFor(w: Weights): java.util.LinkedHashMap[String, Array[Double]] = {
+    var ec = embedCacheTL.get()
+    if (ec == null || (ec.forWeights ne w)) {
+      ec = new EmbedCache(w); embedCacheTL.set(ec)
+    }
+    ec.map
   }
 
   /** Subword pieces of a code token: split at case boundaries and
@@ -142,13 +152,15 @@ object TriaffineScorer extends Serializable {
   /** [subword-pooled word-hash embedding (nHashDims) ; char-recurrence
     * last state (nCharDims)]. The hash part is the analog of the frozen
     * word vectors (reference word_embed.py:84-96), MEAN-POOLED over
-    * subword pieces (A4 subword pooling, text_encoder.py:146-163) so
-    * parseTree and parse_tree share piece-level signal; the char part
+    * subword pieces (A4 subword pooling, text_encoder.py:146-163).
+    * Pieces hash CASE-SENSITIVELY — like a cased wordpiece vocabulary,
+    * `parse` is shared between parseTree and parse_tree but `Tree` and
+    * `tree` are distinct entries; the char part
     * is the per-word char-encoder last-state gather (K3/A8, reference
     * text_encoder.py:258-271) as a fixed-decay recurrence
     * s_c = decay*s_{c-1} + charEmbed(c). Deterministic across JVMs. */
   private def tokenVec(tok: String, w: Weights): Array[Double] = {
-    val cache = embedCache.get()
+    val cache = embedCacheFor(w)
     var v = cache.get(tok)
     if (v == null) {
       v = new Array[Double](w.nHashDims + w.nCharDims)
@@ -269,6 +281,8 @@ object TriaffineScorer extends Serializable {
         s"dim ${w.dim} — cache written under different Weights?")
     val n = flat.length / w.dim - 2
     if (n <= 0) return Nil
+    require(n <= MaxN,
+      s"cached encoding claims $n tokens > MaxN $MaxN — corrupt payload?")
     val ws = workspace(w)
     var k = 0
     while (k < n) {

@@ -32,7 +32,11 @@ object TripleEmit {
   def emit(canonMentions: DataFrame): DataFrame = {
     val spark = canonMentions.sparkSession
     import spark.implicits._
-    val m = canonMentions.cache()
+    // localCheckpoint, not cache(): 5 branches read this table, and the
+    // blocks are released when the plan becomes unreachable (a cache()
+    // here would pin the table in executor storage for the session —
+    // there is no safe place to unpersist a lazily-returned DataFrame)
+    val m = canonMentions.localCheckpoint()
 
     val defines = m.filter($"entType" === "function")
       .select($"docId".as("subj"), lit("defines_symbol").as("pred"),
@@ -150,17 +154,22 @@ object TripleEmit {
         }
         if (ans >= 0) Some(funcs(ans)) else None
       }
-      // type_ref lookup by (sentId, start)
-      val typeAt = ms.iterator.filter(_.entType == "type_ref")
-        .map(t => (t.sentId.toLong << 16 | t.start) -> t).toMap
+      // type_ref lookup by (sentId, start) — ALL type_refs at a key, in
+      // deterministic (end, canonical) order: a plain toMap would keep
+      // one arbitrary (iterator-order) element, diverging from emit()'s
+      // relational join as soon as two type_refs share a start
+      val typeAt = ms.filter(_.entType == "type_ref")
+        .groupBy(t => t.sentId.toLong << 16 | t.start)
+        .map { case (k, ts) => k -> ts.sortBy(t => (t.end, t.canonical)) }
       ms.foreach { m =>
         m.entType match {
           case "function" => add(docId, "defines_symbol", m.canonical, m.linkScore)
           case "api_symbol" => add(docId, "imports", m.canonical, m.linkScore)
           case "identifier" =>
-            typeAt.get(m.sentId.toLong << 16 | (m.end + 1)).foreach { t =>
-              add(m.canonical, "has_type", t.canonical, m.linkScore)
-            }
+            typeAt.get(m.sentId.toLong << 16 | (m.end + 1))
+              .foreach(_.foreach { t =>
+                add(m.canonical, "has_type", t.canonical, m.linkScore)
+              })
             if (m.nextTok == "(")
               fnBefore(m.sentId).foreach(f =>
                 add(f.canonical, "calls", m.canonical, m.linkScore))

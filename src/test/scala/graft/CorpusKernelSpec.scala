@@ -11,6 +11,26 @@ class CorpusKernelSpec extends AnyFunSuite {
 
   val N = 120 // tiny corpus (FIXTURES.md scales)
 
+  test("bare * lines are doc only inside an open /** block") {
+    val content = Seq(
+      "def f(*args, other):",   // code despite token starting with *
+      "/**",
+      "* Uses ParseTree here",  // doc: block is open
+      "*/",                     // doc: closes the block
+      "x = y * z"               // code again
+    ).mkString("\n")
+    val s = Tokenizer.sentences("d", content).map(x => x.sentId -> x).toMap
+    assert(!s(0).pos.contains(Tags.Doc) && s(0).tokens.contains("args"))
+    assert(s(2).pos.forall(t => t == Tags.Doc || t == Tags.DocCap))
+    assert(s(2).pos.contains(Tags.DocCap)) // ParseTree
+    assert(s(3).pos.forall(t => t == Tags.Doc || t == Tags.DocCap))
+    assert(!s(4).pos.contains(Tags.Doc))
+    // single-line /** ... */ does NOT open a block
+    val t = Tokenizer.sentences("d", "/** Uses Foo */\nx = y * z")
+      .map(x => x.sentId -> x).toMap
+    assert(!t(1).pos.contains(Tags.Doc))
+  }
+
   test("generator is deterministic") {
     val a = CorpusGen.file(17L)
     val b = CorpusGen.file(17L)
