@@ -56,8 +56,13 @@ object CorpusGen {
 
   def repoOf(fileId: Long): String = {
     if (fileId % 10 < 3) "repo000"
-    else "repo%03d".format(1 + (scala.util.hashing.MurmurHash3
-      .stringHash(fileId.toString).abs % (nRepos - 1)))
+    else {
+      // .abs is identity-negative for Int.MinValue (would format a
+      // malformed "repo0-2"); mask keeps every other input bit-identical
+      val h = scala.util.hashing.MurmurHash3.stringHash(fileId.toString)
+      val a = if (h == Int.MinValue) 0 else h.abs
+      "repo%03d".format(1 + a % (nRepos - 1))
+    }
   }
 
   /** Generate one file: content + gold. Pure, seeded by fileId only. */

@@ -65,6 +65,17 @@ object ResumableStage {
     val todo = (0 until nBuckets).filterNot(done.contains)
     if (todo.isEmpty) return 0
     val pending = compute(todo)
+    // purge the UNCOMMITTED bucket dirs before writing: dynamic
+    // overwrite only replaces partitions present in the new data, so a
+    // todo bucket that yields zero rows this run would otherwise leave
+    // a stale dir from a prior snapshot/crashed run on disk — and the
+    // stats read-back below would fingerprint and COMMIT the stale rows
+    // as this snapshot's data
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val outFs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    todo.foreach { b =>
+      outFs.delete(new org.apache.hadoop.fs.Path(s"$outPath/bucket=$b"), true)
+    }
     // per-WRITE dynamic overwrite (writer option, not a session conf —
     // a session-wide set would silently turn every later Overwrite
     // write in the same session into a partial overwrite)
@@ -77,16 +88,25 @@ object ResumableStage {
     // Column order is canonicalized (sorted names) so the fingerprint is
     // stable across the write schema vs the read-back schema (partition
     // columns move to the end on read).
-    val written = spark.read.parquet(outPath)
-      .filter($"bucket".isin(todo: _*))
-    val dataCols = written.columns.filter(_ != "bucket").sorted
-    val stats = written
-      .withColumn("h", xxhash64(struct(dataCols.map(col): _*)))
-      .groupBy($"bucket")
-      .agg(count(lit(1)).as("rowCount"),
-        format_string("%016x",
-          coalesce(expr("bit_xor(h)"), lit(0L))).as("sha256Agg"))
-      .collect()
+    // an all-empty write leaves only _SUCCESS in outPath — parquet
+    // schema inference fails there, but the correct outcome is 0-row
+    // manifest commits for every todo bucket, not a crash
+    val stats =
+      try {
+        val written = spark.read.parquet(outPath)
+          .filter($"bucket".isin(todo: _*))
+        val dataCols = written.columns.filter(_ != "bucket").sorted
+        written
+          .withColumn("h", xxhash64(struct(dataCols.map(col): _*)))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("rowCount"),
+            format_string("%016x",
+              coalesce(expr("bit_xor(h)"), lit(0L))).as("sha256Agg"))
+          .collect()
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Array.empty[org.apache.spark.sql.Row]
+      }
     val now = System.currentTimeMillis()
     val rows = todo.map { b =>
       val st = stats.find(_.getInt(0) == b)

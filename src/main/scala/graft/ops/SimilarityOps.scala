@@ -159,12 +159,22 @@ object SimilarityOps {
       .select("v").as[Seq[Double]].collect().map(_.toArray)
     (1 to iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(centroids)
-      val sums = vecs.map { case (_, v) =>
-        (nearest(v.toArray, bc.value), v.toArray, 1L)
-      }.groupByKey(_._1).reduceGroups { (a, b) =>
-        (a._1, a._2.zip(b._2).map(x => x._1 + x._2), a._3 + b._3)
-      }.map { case (c, (_, s, n)) => (c, s, n) }
-        .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      // per-cell sums fold in vec_id order: a reduceGroups would sum
+      // doubles in shuffle-merge order, making the trained centroids
+      // (and thus cell assignment near decision boundaries) depend on
+      // fetch order — the dumped-centroid DuckDB oracle demands
+      // bit-identical training across runs. At web scale training runs
+      // on a sample, so the per-cell buffering here is bounded.
+      val sums = vecs.map { case (id, v) =>
+        (nearest(v.toArray, bc.value), id, v.toArray)
+      }.groupByKey(_._1).mapGroups { (c, it) =>
+        val items = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val s = new Array[Double](items.head._2.length)
+        items.foreach { case (_, v) =>
+          var j = 0; while (j < s.length) { s(j) += v(j); j += 1 }
+        }
+        (c, s, items.length.toLong)
+      }.collect().map(t => t._1 -> ((t._2, t._3))).toMap
       centroids = centroids.indices.map { c =>
         sums.get(c).map { case (s, n) => s.map(_ / n) }.getOrElse(centroids(c))
       }.toArray
@@ -172,13 +182,16 @@ object SimilarityOps {
     centroids
   }
 
+  /** `trained`: pass pre-trained centroids (e.g. the exact array dumped
+    * for the DuckDB oracle) to skip the in-query training pass. */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
-      nCells: Int = 8, nProbe: Int = 2, iters: Int = 5): DataFrame = {
+      nCells: Int = 8, nProbe: Int = 2, iters: Int = 5,
+      trained: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
       .as[(Long, Seq[Double])]
-    val centroids = ivfTrain(emb, nCells, iters)
+    val centroids = trained.getOrElse(ivfTrain(emb, nCells, iters))
     val bc = spark.sparkContext.broadcast(centroids)
     def cellDist(v: Array[Double], cs: Array[Double]): Double = {
       var d = 0.0; var j = 0

@@ -475,9 +475,12 @@ object RelationalQueries {
         |n AS (SELECT (SELECT count(*) FROM pred) AS npred,
         |             (SELECT count(*) FROM gold) AS ngold)
         |SELECT correct, npred, ngold,
-        |  CAST(correct AS DOUBLE) / npred AS p,
-        |  CAST(correct AS DOUBLE) / ngold AS r,
-        |  2 * (CAST(correct AS DOUBLE) / npred) * (CAST(correct AS DOUBLE) / ngold) /
-        |    ((CAST(correct AS DOUBLE) / npred) + (CAST(correct AS DOUBLE) / ngold)) AS f1
+        |  CASE WHEN npred = 0 THEN 0.0
+        |       ELSE CAST(correct AS DOUBLE) / npred END AS p,
+        |  CASE WHEN ngold = 0 THEN 0.0
+        |       ELSE CAST(correct AS DOUBLE) / ngold END AS r,
+        |  CASE WHEN correct = 0 THEN 0.0
+        |       ELSE 2 * (CAST(correct AS DOUBLE) / npred) * (CAST(correct AS DOUBLE) / ngold) /
+        |    ((CAST(correct AS DOUBLE) / npred) + (CAST(correct AS DOUBLE) / ngold)) END AS f1
         |FROM c, n""".stripMargin)
 }

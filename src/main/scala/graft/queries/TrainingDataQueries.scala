@@ -322,13 +322,27 @@ object TrainingDataQueries {
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // byte_sum: the engine sums the payload's UTF-8 BYTES; the oracle
+    // derives each char's UTF-8 byte sum from its codepoint (ascii(c))
+    // arithmetically, so the row stays exact on non-ASCII documents too
+    // (a plain ascii(c) sum would diverge on the first multibyte char)
     "mm_features" ->
       """SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
         |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(list_aggregate(list_transform(string_split_regex(text, ''),
-        |                                     c -> ascii(c)), 'sum')
+        |    c -> CASE
+        |      WHEN ascii(c) < 128 THEN ascii(c)
+        |      WHEN ascii(c) < 2048 THEN
+        |        320 + ascii(c) // 64 + ascii(c) % 64
+        |      WHEN ascii(c) < 65536 THEN
+        |        480 + ascii(c) // 4096 + (ascii(c) // 64) % 64
+        |            + ascii(c) % 64
+        |      ELSE
+        |        624 + ascii(c) // 262144 + (ascii(c) // 4096) % 64
+        |            + (ascii(c) // 64) % 64 + ascii(c) % 64
+        |    END), 'sum')
         |       AS BIGINT) AS byte_sum
         |FROM documents ORDER BY media_id""".stripMargin,
     // same bucket recompute as ann_lsh (dumped plane matrix), then the

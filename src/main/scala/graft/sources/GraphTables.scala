@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   *  - `path/manifest`: one row per snapshot with row counts + content
   *    hash — the read side can verify integrity and pick a snapshot.
   */
+/** Row-set fingerprint shared by the graph-table publish and the
+  * streaming batch commit: xxhash64 over the named columns,
+  * xor-combined (order-independent), hex. (ResumableStage keeps its own
+  * per-bucket variant over struct(sorted cols) — see Manifest.scala.) */
+object ContentHash {
+  def hex(df: DataFrame, cols: Seq[String]): (Long, String) = {
+    val r = df
+      .withColumn("__h", xxhash64(cols.map(col): _*))
+      .agg(count(lit(1)),
+        format_string("%016x", coalesce(expr("bit_xor(__h)"), lit(0L))))
+      .head()
+    (r.getLong(0), r.getString(1))
+  }
+}
+
 object GraphTables {
 
   val NumBuckets = 16
@@ -34,14 +49,16 @@ object GraphTables {
     withB.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "static")
       .partitionBy("pred", "bucket").parquet(s"$path/data")
-    val stats = withB
-      .withColumn("h", xxhash64(col("subj"), col("pred"), col("obj"), col("docId")))
-      .agg(count(lit(1)).as("rowCount"),
-        format_string("%016x", coalesce(expr("bit_xor(h)"), lit(0L)))
-          .as("contentHash"))
-      .withColumn("snapshotId", lit(snapshotId))
-      .withColumn("committedAt", lit(System.currentTimeMillis()))
-    stats.write.mode(SaveMode.Append).parquet(s"$path/manifest")
+    // fingerprint the data ACTUALLY WRITTEN (read back from disk), not
+    // a recomputation of the input plan — recomputing would run the
+    // whole upstream pipeline a second time and hash rows that were
+    // never made durable
+    import spark.implicits._
+    val (n, h) = ContentHash.hex(spark.read.parquet(s"$path/data"),
+      Seq("subj", "pred", "obj", "docId"))
+    Seq((n, h, snapshotId, System.currentTimeMillis()))
+      .toDF("rowCount", "contentHash", "snapshotId", "committedAt")
+      .write.mode(SaveMode.Append).parquet(s"$path/manifest")
   }
 
   def read(spark: SparkSession, path: String): DataFrame =

@@ -68,12 +68,9 @@ object StreamingPipeline {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batchId").parquet(outPath)
-      val st = cached
-        .withColumn("h", xxhash64(col("subj"), col("pred"),
-          col("obj"), col("docId")))
-        .agg(count(lit(1)), format_string("%016x",
-          coalesce(expr("bit_xor(h)"), lit(0L)))).head()
-      Seq((f"batch$batchId%05d", st.getLong(0), st.getString(1),
+      val (nRows, cHash) = graft.sources.ContentHash.hex(cached,
+        Seq("subj", "pred", "obj", "docId"))
+      Seq((f"batch$batchId%05d", nRows, cHash,
         System.currentTimeMillis(), batchId))
         .toDF("stage", "rowCount", "contentHash", "committedAt", "batchId")
         .write.mode("overwrite")
@@ -127,11 +124,15 @@ object StreamingPipeline {
         graft.ops.TextOps.fingerprint(col("text")))
       .dropDuplicatesWithinWatermark("fingerprint")
 
-  /** Watermarked stream-stream inner join: events of the same user
-    * joined within a 5-minute range. Both join state stores are pruned
-    * by the watermark + the time-range condition — the state-bounding
-    * pattern a 100 TB streaming join needs (without the range bound,
-    * each side buffers forever). */
+  /** Watermarked stream-stream SELF-join: unordered pairs of events of
+    * the same user within a 5-minute range, each pair emitted exactly
+    * once (both arguments must be the same stream — the pair-dedup
+    * predicate below assumes every pair is seen from both directions;
+    * for two DISTINCT streams drop it and keep only the range bound).
+    * Both join state stores are pruned by the watermark + the
+    * time-range condition — the state-bounding pattern a 100 TB
+    * streaming join needs (without the range bound, each side buffers
+    * forever). */
   def streamStreamJoin(a: DataFrame, b: DataFrame): DataFrame = {
     val l = a.withColumn("a_ts", col("ts").cast("timestamp"))
       .withWatermark("a_ts", "10 minutes")
@@ -158,30 +159,43 @@ object StreamingPipeline {
       n_events: Int)
 
   /** Gap-based sessionization with explicit state (the
-    * KeyValueGroupedDataset custom-state surface). */
+    * KeyValueGroupedDataset custom-state surface). ProcessingTimeTimeout
+    * flushes a user's FINAL session once the gap elapses with no new
+    * events and removes the state entry — with NoTimeout the last
+    * session would never be emitted and the store would grow by one
+    * entry per user forever. */
   def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
-          var cur = state.getOption
-          val out = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                out += Session(user, s.start, s.last, s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start, s.last, s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            var cur = state.getOption
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  out += Session(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 }

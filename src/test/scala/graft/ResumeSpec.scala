@@ -71,4 +71,36 @@ class ResumeSpec extends SparkSpec {
     // second execution of the pending pipeline
     assert(acc.value == nFiles, s"pipeline ran ${acc.value / nFiles}x")
   }
+
+  test("a bucket that empties in a new snapshot purges its stale dir") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("resume-stale").toString
+    val out = s"$tmp/out"; val man = s"$tmp/manifest"
+    val d1 = Seq((0, "a"), (1, "b")).toDF("bucket", "v")
+    ResumableStage.runWith(spark, "s", "snap-0", 2, out, man)(
+      todo => d1.filter(col("bucket").isin(todo: _*)))
+    // snap-1: bucket 1 yields zero rows — its snap-0 files must NOT be
+    // read back, fingerprinted, and committed as snap-1 data
+    val d2 = Seq((0, "a2")).toDF("bucket", "v")
+    ResumableStage.runWith(spark, "s", "snap-1", 2, out, man)(
+      todo => d2.filter(col("bucket").isin(todo: _*)))
+    assert(spark.read.parquet(out).filter(col("bucket") === 1).count() == 0,
+      "stale snap-0 bucket dir survived")
+    val m = spark.read.parquet(man)
+      .filter(col("snapshotId") === "snap-1" && col("bucket") === 1)
+      .collect()
+    assert(m.length == 1 && m(0).getAs[Long]("rowCount") == 0L)
+  }
+
+  test("a fully-empty first run commits 0-row buckets without crashing") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("resume-empty").toString
+    val out = s"$tmp/out"; val man = s"$tmp/manifest"
+    val empty = Seq.empty[(Int, String)].toDF("bucket", "v")
+    val n = ResumableStage.runWith(spark, "s", "snap-0", 2, out, man)(
+      todo => empty.filter(col("bucket").isin(todo: _*)))
+    assert(n == 2)
+    val rows = spark.read.parquet(man).collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[Long]("rowCount") == 0L))
+  }
 }
