@@ -97,8 +97,16 @@ object Bench {
       }
       n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    // data prep (untimed): materialize the source table once
-    if (!Files.exists(Paths.get(corpusPath))) {
+    // data prep (untimed): materialize the source table once. _SUCCESS
+    // is the completion marker — a bench killed mid-write otherwise
+    // leaves a partial dir every later round silently benchmarks.
+    // Stale dirs (other content versions, partials) are removed first:
+    // each generator change rolls the key and would leak a multi-GB
+    // /tmp dir per round forever.
+    if (!Files.exists(Paths.get(corpusPath, "_SUCCESS"))) {
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"graft_bench_corpus_${scaleFiles}_"))
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       Extract.corpusWrite(spark, scaleFiles, corpusPath)
     }
     // 2: pipeline throughput at `cpus` (best of `trials`)

@@ -44,9 +44,12 @@ object Main {
     val computed = ResumablePipeline.run(spark, corpus,
       s"$work/triples", s"$work/manifest", nBuckets, snapshotId)
     val triples = ResumablePipeline.readTriples(spark, s"$work/triples")
-    GraphTables.write(triples, s"$work/graph", snapshotId)
+    // write returns the published (rowCount, hash) — no third scan of
+    // the triple table just to print the count
+    val (nTriples, _) =
+      GraphTables.write(triples, s"$work/graph", snapshotId)
     // the one intentional driver-side line: the job's summary
     println(s"""{"snapshotId":"$snapshotId","bucketsComputed":$computed,""" +
-      s""""triples":${triples.count()}}""")
+      s""""triples":$nTriples}""")
   }
 }

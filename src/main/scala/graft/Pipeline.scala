@@ -40,6 +40,17 @@ object Pipeline {
     rows.toSeq.toDF("entity", "canonical")
   }
 
+  /** THE canonicalization join — broadcast the tiny canonical map,
+    * left-join on entity, unknown entities stay self-canonical. One
+    * definition shared by every pipeline variant (in-process, dynamic,
+    * from-table, resumable, streaming) so the null-fallback rule can
+    * never silently diverge between paths. */
+  def canonicalize(linked: DataFrame, canonMap: DataFrame): DataFrame =
+    linked.join(broadcast(canonMap),
+      linked("entity") === canonMap("entity"), "left")
+      .select(linked("*"),
+        coalesce(col("canonical"), linked("entity")).as("canonical"))
+
   /** relationalEmit = true uses the 5-branch DataFrame emitter
     * (operator showcase, needs a cache of the mention table);
     * false (default) uses the fused single-shuffle emitter. */
@@ -50,11 +61,7 @@ object Pipeline {
     if (verifySha) Extract.verifyIntegrity(files)
     val ments = Extract.mentionsFused(files)
     val linked = Linker.link(ments)
-    val canonMap = staticCanonMap(spark)
-    val canon = linked.join(broadcast(canonMap),
-      linked("entity") === canonMap("entity"), "left")
-      .select(linked("*"),
-        coalesce(col("canonical"), linked("entity")).as("canonical"))
+    val canon = canonicalize(linked.toDF(), staticCanonMap(spark))
     val triples =
       if (relationalEmit) TripleEmit.emit(canon)
       else TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
@@ -82,11 +89,7 @@ object Pipeline {
     val ments = Extract.mentionsFused(files)
     val linked = Linker.link(ments).toDF().persist()
     try {
-      val canonMap = dynamicCanonMap(spark, linked)
-      val canon = linked.join(broadcast(canonMap),
-        linked("entity") === canonMap("entity"), "left")
-        .select(linked("*"),
-          coalesce(col("canonical"), linked("entity")).as("canonical"))
+      val canon = canonicalize(linked, dynamicCanonMap(spark, linked))
       val triples =
         TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
           .localCheckpoint()
@@ -104,11 +107,7 @@ object Pipeline {
     if (verifySha) Extract.verifyIntegrity(files)
     val ments = Extract.mentionsFused(files)
     val linked = Linker.link(ments)
-    val canonMap = staticCanonMap(spark)
-    val canon = linked.join(broadcast(canonMap),
-      linked("entity") === canonMap("entity"), "left")
-      .select(linked("*"),
-        coalesce(col("canonical"), linked("entity")).as("canonical"))
+    val canon = canonicalize(linked.toDF(), staticCanonMap(spark))
     val triples = TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
     Stages(files, ments, canon, triples)
   }

@@ -29,7 +29,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally
         // queries that cache internally (dedup postings, LSH index)
-        // must not pin executor storage for the remaining 39 queries
+        // must not pin executor storage for the remaining queries
         spark.catalog.clearCache()
     }
     // closed-form gold for the kg_* oracles (same corpus slice the
@@ -37,8 +37,14 @@ object Verify {
     try {
       import spark.implicits._
       val n = graft.queries.KgQueries.nFilesFor(sfDir)
-      def w(df: org.apache.spark.sql.DataFrame, t: String): Unit =
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_gold/$t")
+      // per-table try (df is by-name): one failed gold table must not
+      // skip the remaining five and fail every downstream oracle at once
+      def w(df: => org.apache.spark.sql.DataFrame, t: String): Unit =
+        try df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/_gold/$t")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] gold $t failed: ${e.getMessage}")
+        }
       w(Pipeline.goldMentions(spark, n), "mentions")
       w(Pipeline.goldTriples(spark, n), "triples")
       w(graft.extract.Extract.corpus(spark, n).toDF()

@@ -62,19 +62,41 @@ object ResumableStage {
       compute: Seq[Int] => DataFrame): Int = {
     import spark.implicits._
     val done = committed(spark, manifestPath, stage, snapshotId)
+    // resuming with a DIFFERENT bucket count than this (stage,
+    // snapshotId) was started with would recompute a disjoint bucket
+    // numbering over the same rows — committed data would be read
+    // alongside re-bucketed duplicates. Fail fast instead.
+    val manP = new org.apache.hadoop.fs.Path(manifestPath)
+    val manFs = manP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (manFs.exists(manP)) {
+      spark.read.parquet(manifestPath)
+        .filter($"stage" === stage && $"snapshotId" === snapshotId)
+        .select($"metricsJson").distinct().as[String].collect()
+        .foreach { mj =>
+          require(mj == s"""{"buckets":$nBuckets}""",
+            s"manifest for ($stage, $snapshotId) was written with $mj " +
+              s"but this run has nBuckets=$nBuckets — resume with the " +
+              "original count, or use a fresh snapshotId + outPath")
+        }
+    }
     val todo = (0 until nBuckets).filterNot(done.contains)
     if (todo.isEmpty) return 0
     val pending = compute(todo)
-    // purge the UNCOMMITTED bucket dirs before writing: dynamic
-    // overwrite only replaces partitions present in the new data, so a
-    // todo bucket that yields zero rows this run would otherwise leave
-    // a stale dir from a prior snapshot/crashed run on disk — and the
-    // stats read-back below would fingerprint and COMMIT the stale rows
-    // as this snapshot's data
+    // purge every bucket dir NOT committed for this (stage, snapshotId)
+    // before writing: dynamic overwrite only replaces partitions present
+    // in the new data, so a todo bucket that yields zero rows this run —
+    // or a leftover dir from a prior snapshot — would otherwise be read
+    // back, fingerprinted, and COMMITTED as this snapshot's data.
+    // (outPath is one stage's output dir by contract.)
     val outP = new org.apache.hadoop.fs.Path(outPath)
     val outFs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    todo.foreach { b =>
-      outFs.delete(new org.apache.hadoop.fs.Path(s"$outPath/bucket=$b"), true)
+    if (outFs.exists(outP)) outFs.listStatus(outP).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("bucket=")) {
+        val b = scala.util.Try(name.stripPrefix("bucket=").toInt)
+          .getOrElse(-1)
+        if (!done.contains(b)) outFs.delete(st.getPath, true)
+      }
     }
     // per-WRITE dynamic overwrite (writer option, not a session conf —
     // a session-wide set would silently turn every later Overwrite
@@ -95,7 +117,7 @@ object ResumableStage {
       try {
         val written = spark.read.parquet(outPath)
           .filter($"bucket".isin(todo: _*))
-        val dataCols = written.columns.filter(_ != "bucket").sorted
+        val dataCols = written.columns.filter(_ != "bucket").sorted.toSeq
         written
           .withColumn("h", xxhash64(struct(dataCols.map(col): _*)))
           .groupBy($"bucket")

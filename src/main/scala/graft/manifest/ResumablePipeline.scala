@@ -38,11 +38,8 @@ object ResumablePipeline {
         .as[SourceFileHashed]
       val ments = graft.extract.Extract.mentionsFused(files)
       val linked = graft.link.Linker.link(ments)
-      val canonMap = Pipeline.staticCanonMap(spark)
-      val canon = linked.join(broadcast(canonMap),
-        linked("entity") === canonMap("entity"), "left")
-        .select(linked("*"),
-          coalesce(col("canonical"), linked("entity")).as("canonical"))
+      val canon = Pipeline.canonicalize(linked.toDF(),
+        Pipeline.staticCanonMap(spark))
       graft.triples.TripleEmit
         .emitFused(canon.as[graft.triples.TripleEmit.CanonMention])
         .toDF()

@@ -105,6 +105,25 @@ object KgQueries {
         .distinct()
         .orderBy(col("caller"), col("mid"), col("callee"), col("docId"))
     }),
+    // degree centrality over the calls graph (canonical entities):
+    // two groupBy counts + a full-outer merge — integer-exact, so the
+    // oracle hash-compares. The graph-analytics consumption demo next
+    // to kg_twohop's traversal.
+    "kg_degree" -> ((s, d) => {
+      val t = Pipeline.run(s, nFilesFor(d)).triples
+        .filter(col("pred") === "calls")
+        .select(col("subj"), col("obj"))
+        .localCheckpoint()
+      val outD = t.groupBy(col("subj").as("entity"))
+        .agg(count(lit(1)).as("out_deg"))
+      val inD = t.groupBy(col("obj").as("entity"))
+        .agg(count(lit(1)).as("in_deg"))
+      outD.join(inD, Seq("entity"), "full_outer")
+        .select(col("entity"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .orderBy(col("entity"))
+    }),
     "kg_eval" -> ((s, d) => {
       val n = nFilesFor(d)
       val st = Pipeline.run(s, n)
@@ -166,6 +185,16 @@ object KgQueries {
          |  a.docId
          |FROM t a JOIN t b ON a.obj = b.subj AND a.docId = b.docId
          |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "kg_degree" ->
+      s"""WITH t AS (SELECT subj, obj FROM ${gold("triples")}
+         |  WHERE pred = 'calls'),
+         |o AS (SELECT subj AS entity, count(*) AS out_deg FROM t GROUP BY 1),
+         |i AS (SELECT obj AS entity, count(*) AS in_deg FROM t GROUP BY 1)
+         |SELECT entity,
+         |  CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+         |  CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
+         |FROM o FULL OUTER JOIN i USING (entity)
+         |ORDER BY entity""".stripMargin,
     // P/R/F1 must be EXACTLY 1.0 against the closed-form gold, with
     // correct == npred == ngold == |gold| — computed from the gold side
     // alone, so a single extra or missing prediction fails the row

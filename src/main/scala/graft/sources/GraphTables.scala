@@ -40,7 +40,10 @@ object GraphTables {
   def bucketCol(subj: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(subj), lit(NumBuckets)).cast("int")
 
-  def write(triples: DataFrame, path: String, snapshotId: String): Unit = {
+  /** Returns (rowCount, contentHash) of the published data — callers
+    * wanting the count must not re-scan the table they just wrote. */
+  def write(triples: DataFrame, path: String,
+      snapshotId: String): (Long, String) = {
     val spark = triples.sparkSession
     val withB = triples.withColumn("bucket", bucketCol(col("subj")))
     // explicit STATIC overwrite: this publish replaces the whole table,
@@ -59,6 +62,7 @@ object GraphTables {
     Seq((n, h, snapshotId, System.currentTimeMillis()))
       .toDF("rowCount", "contentHash", "snapshotId", "committedAt")
       .write.mode(SaveMode.Append).parquet(s"$path/manifest")
+    (n, h)
   }
 
   def read(spark: SparkSession, path: String): DataFrame =

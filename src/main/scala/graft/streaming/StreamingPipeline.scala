@@ -96,11 +96,8 @@ object StreamingPipeline {
         import org.apache.spark.sql.functions._
         val ments = graft.extract.Extract.mentionsFused(batch)
         val linked = graft.link.Linker.link(ments)
-        val canonMap = graft.Pipeline.staticCanonMap(spark)
-        val canon = linked.join(broadcast(canonMap),
-          linked("entity") === canonMap("entity"), "left")
-          .select(linked("*"),
-            coalesce(col("canonical"), linked("entity")).as("canonical"))
+        val canon = graft.Pipeline.canonicalize(linked.toDF(),
+          graft.Pipeline.staticCanonMap(spark))
         import spark.implicits._
         val triples = graft.triples.TripleEmit
           .emitFused(canon.as[graft.triples.TripleEmit.CanonMention])
