@@ -118,15 +118,33 @@ object Bench {
     val tpsCpus = nTriples / tPipe
     spark.stop()
 
-    // 3: scaling evidence, local[N] vs local[4N], same input
-    val scaling = Seq(scaleN, 4 * scaleN).map { n =>
-      val s = session(n, s"graft-scale-$n")
-      Pipeline.runFromTable(s, corpusPath).triples.count() // JIT warm-up
-      val rs = (1 to trials).map(_ =>
-        time(Pipeline.runFromTable(s, corpusPath).triples.count()))
+    // 3: scaling evidence, local[N] vs local[4N], same input.
+    // Trials ALTERNATE configurations (N, 4N, N, 4N, …) so a sustained
+    // CPU-steal window on the shared host degrades both sides of the
+    // ratio instead of silently halving one of them (observed eff 0.58
+    // on a run where every local[8] trial landed in one window while
+    // the preceding local[2] block ran clean); per-config best-of is
+    // then taken across the interleaved trials. JIT persists across
+    // SparkSessions (same JVM), so one untimed warm pass per config
+    // suffices.
+    val configs = Seq(scaleN, 4 * scaleN)
+    configs.foreach { n =>
+      val s = session(n, s"graft-scale-warm-$n")
+      Pipeline.runFromTable(s, corpusPath).triples.count()
       s.stop()
-      val best = rs.map(_._2).min
-      (n, rs.head._1, best, rs.head._1 / best)
+    }
+    val timed = (1 to trials).flatMap { _ =>
+      configs.map { n =>
+        val s = session(n, s"graft-scale-$n")
+        val r = time(Pipeline.runFromTable(s, corpusPath).triples.count())
+        s.stop()
+        (n, r._1, r._2)
+      }
+    }
+    val scaling = configs.map { n =>
+      val rs = timed.filter(_._1 == n)
+      val best = rs.map(_._3).min
+      (n, rs.head._2, best, rs.head._2 / best)
     }
     val tps4 = scaling.head._4
     val tps16 = scaling.last._4

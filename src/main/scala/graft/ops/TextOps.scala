@@ -76,6 +76,32 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
+  /** The reference alignment pipeline's exact `clean` chain
+    * (/root/reference/preprocess/align_input.py:7-11): ORDERED literal
+    * replacements — PTB bracket tokens before the bare '{'/'-' removals
+    * that would otherwise corrupt them, entity escapes longest-first,
+    * single chars last. Each step is a literal (non-regex) `replace`,
+    * so the whole chain stays one codegen'd narrow map at any scale.
+    * The DuckDB oracle is generated from this same list, and
+    * TextOpsSpec pins a reference-computed expected string so the
+    * ordering semantics can't silently drift. */
+  val cleanChain: Seq[(String, String)] = Seq(
+    "-LCB-" -> "", "-RCB-" -> "", "{" -> "", "}" -> "",
+    "-LRB-" -> "(", "-RRB-" -> ")", "." -> "", "`" -> "", "'" -> "",
+    "\"" -> "", "-LSB-" -> "[", "-RSB-" -> "]", "<UNK>" -> "",
+    "&amp;T" -> "", "&amp;M" -> "", "&amp;A" -> "", "&amp;" -> "",
+    "&AMP;" -> "", "\t" -> "", "\n" -> "", "&" -> "", "-" -> "",
+    "M" -> "", "A" -> "")
+
+  def ptbClean(text: Column): Column =
+    cleanChain.foldLeft(text) { case (c, (f, t)) =>
+      replace(c, lit(f), lit(t)) }
+
+  /** `remove_space` (align_input.py:13-15, string form): drop ALL
+    * whitespace, then clean. */
+  def removeSpace(text: Column): Column =
+    ptbClean(regexp_replace(text, "\\s", ""))
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the classic
     * rolling-hash document fingerprint): hash every char k-gram, then
     * keep the MINIMUM hash of every sliding window of `win` k-grams;

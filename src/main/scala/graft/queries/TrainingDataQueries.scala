@@ -34,6 +34,14 @@ object TrainingDataQueries {
       .orderBy(col("doc_id"))
   }
 
+  // F1/F2: the reference's exact ordered clean / remove_space chain
+  // (align_input.py:7-15) as one codegen'd narrow map over documents
+  private val cleanAlign: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      TextOps.ptbClean(col("text")).as("cleaned"),
+      TextOps.removeSpace(col("text")).as("squeezed"))
+      .orderBy(col("doc_id"))
+
   private val winnowFp: Q = (s, d) =>
     TextOps.winnowFingerprints(docs(s, d), "doc_id", "text")
       .orderBy(col("doc"), col("fp"))
@@ -96,6 +104,7 @@ object TrainingDataQueries {
   val all: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "lang_id" -> langId,
+    "clean_align" -> cleanAlign,
     "winnow_fp" -> winnowFp,
     "dedup_exact_docs" -> dedupExactDocs,
     "dedup_jaccard" -> dedupJaccard,
@@ -114,6 +123,18 @@ object TrainingDataQueries {
 
   private def inList(set: Seq[String]) =
     set.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // DuckDB string literal for a clean-chain operand (tab/newline via
+  // chr(), quotes doubled) — the oracle expression is GENERATED from
+  // TextOps.cleanChain so both engines run the identical ordered chain
+  private def duckLit(s: String): String = s match {
+    case "\t" => "chr(9)"
+    case "\n" => "chr(10)"
+    case _    => "'" + s.replace("'", "''") + "'"
+  }
+  private def cleanOver(base: String): String =
+    TextOps.cleanChain.foldLeft(base) { case (e, (f, t)) =>
+      s"replace($e, ${duckLit(f)}, ${duckLit(t)})" }
 
   private val shinglesCte =
     """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -241,6 +262,10 @@ object TrainingDataQueries {
          |    CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS mean_word_len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" -> langIdOracle,
+    "clean_align" ->
+      s"""SELECT doc_id, ${cleanOver("text")} AS cleaned,
+         |  ${cleanOver("regexp_replace(text, '\\s', '', 'g')")} AS squeezed
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "winnow_fp" ->
       """WITH p AS (SELECT doc_id AS doc, text, length(text) - 7 AS n,
         |    unnest(generate_series(1, length(text) - 7)) AS pos

@@ -169,4 +169,28 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == "de") // tie de/en -> lexicographically first
     assert(out(2L) == "und")
   }
+
+  test("ptbClean/removeSpace match the reference chain bit-for-bit") {
+    import spark.implicits._
+    // expected strings computed by running the reference's clean()/
+    // remove_space() (align_input.py:7-15) on these inputs — pins the
+    // ORDER of the replacement chain (e.g. '&amp;T' before '&', 'A'
+    // removed only after '-LRB-A-RRB-' became '(A)')
+    val cases = Seq(
+      ("a-LRB-b-RRB- c.d 'e' -LSB-f-RSB- &amp;Tag M-A <UNK>h {i}",
+        "a(b) cd e [f] ag  h i", "a(b)cde[f]aghi"),
+      ("AT&amp;T -LCB-x-RCB- \tMr. O'Malley & co-op \"q\" &AMP; -LRB-A-RRB-",
+        "T x r Oalley  coop q  ()", "TxrOalleycoopq()"),
+      ("Map<UNK>.Entry -- A.M. {lambda}",
+        "apEntry   lambda", "apEntrylambda"))
+    val out = cases.zipWithIndex.map { case ((t, _, _), i) => (i, t) }
+      .toDF("i", "text")
+      .select(col("i"), TextOps.ptbClean(col("text")).as("c"),
+        TextOps.removeSpace(col("text")).as("r"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    cases.zipWithIndex.foreach { case ((_, c, r), i) =>
+      assert(out(i) == (c, r), s"case $i")
+    }
+  }
 }

@@ -92,6 +92,20 @@ class ResumeSpec extends SparkSpec {
     assert(m.length == 1 && m(0).getAs[Long]("rowCount") == 0L)
   }
 
+  test("resuming with a different bucket count fails fast") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("resume-nb").toString
+    val out = s"$tmp/out"; val man = s"$tmp/manifest"
+    val d = Seq((0, "a"), (1, "b")).toDF("bucket", "v")
+    ResumableStage.runWith(spark, "s", "snap-0", 2, out, man)(
+      todo => d.filter(col("bucket").isin(todo: _*)))
+    val ex = intercept[IllegalArgumentException] {
+      ResumableStage.runWith(spark, "s", "snap-0", 4, out, man)(
+        todo => d.filter(col("bucket").isin(todo: _*)))
+    }
+    assert(ex.getMessage.contains("nBuckets=4"))
+  }
+
   test("a fully-empty first run commits 0-row buckets without crashing") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("resume-empty").toString
