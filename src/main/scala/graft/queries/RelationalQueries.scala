@@ -209,6 +209,39 @@ object RelationalQueries {
       .orderBy(col("probe_id"), col("doc_id"))
   }
 
+  // Alignment regroup (ref align_all.py:99-109): every sentence matched
+  // to the same corpus document receives ltokens/rtokens = the
+  // concatenation of ALL other matched sentences' tokens, preceding /
+  // following in match order. Same blocked match as contain_align, then
+  // two frame-bounded window aggregations partitioned by doc — never a
+  // global window, so it scales with the largest single document's
+  // match count, not the corpus.
+  private val alignRegroup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val probes = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("probe_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("probe"))
+    val keyed = probes.withColumn("key",
+      concat_ws(" ", slice(split(col("probe"), " "), 1, 3)))
+    val sh = docs.select(col("doc_id"),
+      explode(graft.ops.TextOps.ngrams(col("text"), 3)).as("ng"))
+    val cands = broadcast(keyed).join(sh, col("key") === col("ng"))
+      .select(col("probe_id"), col("probe"), col("doc_id")).distinct()
+    val matched = cands
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(col("text").contains(col("probe")))
+      .select(col("probe_id"), col("probe"), col("doc_id"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("probe_id"))
+    matched
+      .withColumn("lctx", concat_ws(" ", collect_list(col("probe"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))))
+      .withColumn("rctx", concat_ws(" ", collect_list(col("probe"))
+        .over(w.rowsBetween(1, Window.unboundedFollowing))))
+      .select(col("probe_id"), col("doc_id"), col("lctx"), col("rctx"))
+      .orderBy(col("probe_id"), col("doc_id"))
+  }
+
   // A1+J1: strict P/R/F1 computed relationally (ref evaluation.py:69-103).
   // ONE action over a full-outer join — pred/gold each computed exactly
   // once (the production path, StrictMetric.prf, uses the same shape).
@@ -329,7 +362,27 @@ object RelationalQueries {
     "mention_format" -> mentionFormat,
     "span_enum" -> spanEnum,
     "contain_align" -> containAlign,
+    "align_regroup" -> alignRegroup,
     "prf_agg" -> prfAgg)
+
+  // the ONE blocked-match definition shared by the contain_align and
+  // align_regroup oracles (mirrors containAlign/alignRegroup exactly)
+  private val alignMatchCte =
+    """WITH probes AS (
+      |  SELECT doc_id AS probe_id,
+      |    array_to_string(string_split(text, ' ')[1:5], ' ') AS probe
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |pk AS (SELECT probe_id, probe,
+      |  array_to_string(string_split(probe, ' ')[1:3], ' ') AS key
+      |  FROM probes),
+      |tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  unnest(list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+      |                        for i in range(1, len(t)-1)])) AS ng
+      |  FROM tt),
+      |cand AS (SELECT DISTINCT pk.probe_id, pk.probe, sh.doc_id
+      |         FROM pk JOIN sh ON pk.key = sh.ng)
+      |""".stripMargin
 
   private val spansCte =
     """WITH spans AS (
@@ -447,25 +500,23 @@ object RelationalQueries {
       """SELECT id, printf('%d,%d grp%d', s, e + 1, grp) AS mention
         |FROM spans WHERE id % 50 = 0 ORDER BY id""".stripMargin),
     "span_enum" -> spanEnumOracle,
-    "contain_align" ->
-      """WITH probes AS (
-        |  SELECT doc_id AS probe_id,
-        |    array_to_string(string_split(text, ' ')[1:5], ' ') AS probe
-        |  FROM documents WHERE doc_id % 20 = 0),
-        |pk AS (SELECT probe_id, probe,
-        |  array_to_string(string_split(probe, ' ')[1:3], ' ') AS key
-        |  FROM probes),
-        |tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id,
-        |  unnest(list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
-        |                        for i in range(1, len(t)-1)])) AS ng
-        |  FROM tt),
-        |cand AS (SELECT DISTINCT pk.probe_id, pk.probe, sh.doc_id
-        |         FROM pk JOIN sh ON pk.key = sh.ng)
-        |SELECT c.probe_id, c.doc_id
+    "contain_align" -> (alignMatchCte +
+      """SELECT c.probe_id, c.doc_id
         |FROM cand c JOIN documents d ON c.doc_id = d.doc_id
         |WHERE contains(d.text, c.probe)
-        |ORDER BY c.probe_id, c.doc_id""".stripMargin,
+        |ORDER BY c.probe_id, c.doc_id""".stripMargin),
+    "align_regroup" -> (alignMatchCte +
+      """, m AS (SELECT c.probe_id, c.probe, c.doc_id
+        |  FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+        |  WHERE contains(d.text, c.probe))
+        |SELECT probe_id, doc_id,
+        |  coalesce(string_agg(probe, ' ') OVER (PARTITION BY doc_id
+        |    ORDER BY probe_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '') AS lctx,
+        |  coalesce(string_agg(probe, ' ') OVER (PARTITION BY doc_id
+        |    ORDER BY probe_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), '') AS rctx
+        |FROM m ORDER BY probe_id, doc_id""".stripMargin),
     "prf_agg" ->
       """WITH pred AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |              WHERE l_quantity > 25),
