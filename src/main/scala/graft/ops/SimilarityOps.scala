@@ -223,16 +223,6 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** Embedding-cosine near-dup: globally top-n most-similar pairs among
-    * a sampled query side (id % sampleMod == 0) vs all.
-    *
-    * Scale shape: `orderBy(...).limit(n)` plans as
-    * TakeOrderedAndProject — every partition keeps a local n-row heap
-    * and the driver merges n rows per partition. An unpartitioned
-    * `row_number()` window here would instead shuffle EVERY candidate
-    * pair into one partition (the round-1 scale-killer; asserted fixed
-    * in PlanSpec). The tiny rank window afterwards runs over exactly
-    * `topN` already-collected rows. */
   /** Embedding-cosine near-dup, thresholded + LSH-blocked: the scale
     * path for "drop every pair more similar than t" over a corpus too
     * big for the all-pairs join. Candidates = pairs sharing a bucket in
@@ -256,6 +246,16 @@ object SimilarityOps {
       .select(col("d1"), col("d2"))
   }
 
+  /** Globally top-n most-similar pairs among a sampled query side
+    * (id % sampleMod == 0) vs all.
+    *
+    * Scale shape: `orderBy(...).limit(n)` plans as
+    * TakeOrderedAndProject — every partition keeps a local n-row heap
+    * and the driver merges n rows per partition. An unpartitioned
+    * `row_number()` window here would instead shuffle EVERY candidate
+    * pair into one partition (the round-1 scale-killer; asserted fixed
+    * in PlanSpec). The tiny rank window afterwards runs over exactly
+    * `topN` already-collected rows. */
   def topPairs(emb: DataFrame, sampleMod: Int, topN: Int): DataFrame = {
     val q = emb.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("id1"), dvec(col("embedding")).as("v1"))
