@@ -125,13 +125,20 @@ object RelationalQueries {
 
   // A3-family: vocab build — explode -> distinct -> sort -> dense id
   // (ref word_embed.py:46-66)
+  // Vocab id assignment: distinct -> range-partitioned sort ->
+  // zipWithIndex (the canonical RDD exception: one count-per-partition
+  // job, then contiguous offsets). A row_number() over an empty
+  // partition spec would instead funnel the ENTIRE vocabulary into one
+  // partition — caught by PlanSpec's unpartitioned-window sweep.
   private val vocabBuild: Q = (s, d) => {
+    import s.implicits._
     val docs = t(s, d, "documents")
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .distinct()
-    words.withColumn("id",
-      row_number().over(Window.orderBy(col("word"))) - 1)
+    words.orderBy(col("word")).as[String].rdd.zipWithIndex()
+      .map { case (w, i) => (w, i.toInt) }
+      .toDF("word", "id")
       .orderBy(col("word"))
   }
 
@@ -322,9 +329,12 @@ object RelationalQueries {
     val chars = docs.select(
       explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
       .groupBy(col("ch")).agg(count(lit(1)).as("n"))
-    chars.withColumn("rk",
-      row_number().over(Window.orderBy(col("n").desc, col("ch"))))
-      .filter(col("rk") <= 20)
+    // top-20 via orderBy().limit() = TakeOrderedAndProject (distributed
+    // per-partition heaps); the rank window then runs over exactly 20
+    // already-collected rows — same shape as SimilarityOps.topPairs
+    chars.orderBy(col("n").desc, col("ch")).limit(20)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("ch"))))
       .select(col("rk"), col("ch"), col("n"))
       .orderBy(col("rk"))
   }

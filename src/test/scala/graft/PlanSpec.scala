@@ -47,6 +47,27 @@ class PlanSpec extends SparkSpec {
       s"no distributed top-n in:\n${p.take(3000)}")
   }
 
+  test("no query plans an unpartitioned window over unbounded input") {
+    // the round-1 scale-killer class: row_number() over an empty
+    // partitionSpec funnels EVERY row into one partition. A global
+    // window is acceptable only when its input is already bounded by a
+    // limit (e.g. embed_pairs ranks the topN rows TakeOrdered collected)
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst {
+              case g: GlobalLimit => g: Any
+              case l: LocalLimit => l: Any
+            }.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans an unpartitioned window over unbounded input")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("whole-stage codegen covers the relational operators") {
     val df = graft.queries.RelationalQueries.all("q1_agg")(spark, dir)
     df.collect() // let AQE finalize the plan
