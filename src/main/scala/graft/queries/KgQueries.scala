@@ -124,6 +124,18 @@ object KgQueries {
           coalesce(col("in_deg"), lit(0L)).as("in_deg"))
         .orderBy(col("entity"))
     }),
+    // the reference's prediction-file sink format (write_predict,
+    // evaluation.py:64-68: per sentence the '|'-joined "start,end type"
+    // strings; the reference's list(set(...)) order is nondeterministic,
+    // normalized here to sorted). One groupBy on the extraction key.
+    "kg_predict_lines" -> ((s, d) =>
+      Extract.run(s, nFilesFor(d)).toDF()
+        .select(col("docId"), col("sentId"),
+          format_string("%d,%d %s", col("start"), col("end"),
+            col("entType")).as("m"))
+        .groupBy(col("docId"), col("sentId"))
+        .agg(concat_ws("|", array_sort(collect_list(col("m")))).as("line"))
+        .orderBy(col("docId"), col("sentId"))),
     "kg_eval" -> ((s, d) => {
       val n = nFilesFor(d)
       val st = Pipeline.run(s, n)
@@ -195,6 +207,12 @@ object KgQueries {
          |  CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
          |FROM o FULL OUTER JOIN i USING (entity)
          |ORDER BY entity""".stripMargin,
+    "kg_predict_lines" ->
+      s"""SELECT docId, sentId,
+         |  string_agg(printf('%d,%d %s', "start", "end", entType), '|'
+         |    ORDER BY printf('%d,%d %s', "start", "end", entType)) AS line
+         |FROM ${gold("mentions")}
+         |GROUP BY docId, sentId ORDER BY docId, sentId""".stripMargin,
     // P/R/F1 must be EXACTLY 1.0 against the closed-form gold, with
     // correct == npred == ngold == |gold| — computed from the gold side
     // alone, so a single extra or missing prediction fails the row
