@@ -97,6 +97,20 @@ object Pipeline {
     } finally linked.unpersist()
   }
 
+  /** THE standard stage chain over an arbitrary file slice: extract ->
+    * link -> canonicalize (static map) -> fused emit. Shared by the
+    * batch entry points and the incremental splice
+    * ([[graft.incremental.IncrementalPipeline]]) so "re-extract this
+    * slice" can never diverge from the full pipeline. */
+  def triplesFor(files: Dataset[SourceFileHashed]): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val ments = Extract.mentionsFused(files)
+    val linked = Linker.link(ments)
+    val canon = canonicalize(linked.toDF(), staticCanonMap(spark))
+    TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
+  }
+
   /** Pipeline over a materialized source table (the production shape:
     * north_star reads the Iceberg source-code table; synthesis is data
     * prep, not pipeline). */

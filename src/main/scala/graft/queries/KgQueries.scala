@@ -72,6 +72,21 @@ object KgQueries {
       Pipeline.run(s, nFilesFor(d)).triples
         .select(col("subj"), col("pred"), col("obj"), col("docId"))
         .orderBy(col("subj"), col("pred"), col("obj"), col("docId"))),
+    // incremental snapshot processing: prev = the corpus' first half,
+    // cur = the full corpus. Change detection (left_anti on repo/path/
+    // sha256) re-extracts ONLY the second half; the spliced result must
+    // equal the full closed-form gold — same oracle as kg_triples.
+    // Exactness under modify/remove is IncrementalSpec's job.
+    "kg_incremental" -> ((s, d) => {
+      val n = nFilesFor(d)
+      val prev = Extract.corpus(s, n / 2)
+      val cur = Extract.corpus(s, n)
+      val prevTriples = graft.Pipeline.triplesFor(prev)
+      graft.incremental.IncrementalPipeline
+        .incrementalTriples(prevTriples, prev, cur)
+        .select(col("subj"), col("pred"), col("obj"), col("docId"))
+        .orderBy(col("subj"), col("pred"), col("obj"), col("docId"))
+    }),
     "kg_canon" -> ((s, _) =>
       ConnectedComponents.canonicalMap(Linker.aliasDf(s))
         .orderBy(col("entity"))),
@@ -169,6 +184,9 @@ object KgQueries {
          |FROM ${gold("mentions")}
          |ORDER BY docId, sentId, "start", "end", entType""".stripMargin,
     "kg_triples" ->
+      s"""SELECT subj, pred, obj, docId FROM ${gold("triples")}
+         |ORDER BY subj, pred, obj, docId""".stripMargin,
+    "kg_incremental" ->
       s"""SELECT subj, pred, obj, docId FROM ${gold("triples")}
          |ORDER BY subj, pred, obj, docId""".stripMargin,
     "kg_canon" ->

@@ -1,0 +1,53 @@
+package graft
+
+import graft.core.{CorpusGen, SourceFileHashed}
+import graft.incremental.IncrementalPipeline
+
+/** Same (repo, path, commit, lang) as file `id`, content swapped with
+  * file `contentId` — a deterministic "modification". Standalone object
+  * so executor lambdas don't capture the (non-serializable) spec. */
+object ModifiedFile {
+  def apply(id: Long, contentId: Long): SourceFileHashed = {
+    val base = CorpusGen.file(id).source
+    val donor = CorpusGen.file(contentId).source
+    base.copy(content = donor.content,
+      sha256 = CorpusGen.sha256Hex(donor.content))
+  }
+}
+
+/** Incremental snapshot processing must be EXACTLY a full recompute of
+  * the new snapshot — under all three change kinds at once. */
+class IncrementalSpec extends SparkSpec {
+
+  test("incremental == full recompute under adds, modifications, removals") {
+    import spark.implicits._
+    // prev snapshot: files 0..199
+    val prev = spark.range(0, 200).map(i => CorpusGen.file(i).source)
+    // cur: remove 0..9, modify 10..29 (content of 10000+id), keep the
+    // rest, add 200..249
+    val cur = spark.range(30, 200).map(i => CorpusGen.file(i).source)
+      .union(spark.range(10, 30).map(i => ModifiedFile(i, 10000 + i)))
+      .union(spark.range(200, 250).map(i => CorpusGen.file(i).source))
+
+    // change detection finds exactly the modified + added slice
+    val changed = IncrementalPipeline.changedFiles(cur, prev)
+    assert(changed.count() == 20 + 50)
+    val stale = IncrementalPipeline.staleDocIds(cur, prev)
+    assert(stale.count() == 10 + 20) // removed + modified
+
+    val prevTriples = Pipeline.triplesFor(prev).localCheckpoint()
+    val incr = IncrementalPipeline
+      .incrementalTriples(prevTriples, prev, cur).localCheckpoint()
+    val full = Pipeline.triplesFor(cur).localCheckpoint()
+    assert(incr.count() == full.count())
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+      "incremental result diverges from the full recompute")
+  }
+
+  test("an unchanged snapshot re-extracts nothing") {
+    import spark.implicits._
+    val files = spark.range(0, 50).map(i => CorpusGen.file(i).source)
+    assert(IncrementalPipeline.changedFiles(files, files).isEmpty)
+    assert(IncrementalPipeline.staleDocIds(files, files).isEmpty)
+  }
+}
