@@ -56,16 +56,11 @@ object Pipeline {
     * false (default) uses the fused single-shuffle emitter. */
   def run(spark: SparkSession, nFiles: Long, verifySha: Boolean = false,
       relationalEmit: Boolean = false): Stages = {
-    import spark.implicits._
     val files = Extract.corpus(spark, nFiles)
     if (verifySha) Extract.verifyIntegrity(files)
-    val ments = Extract.mentionsFused(files)
-    val linked = Linker.link(ments)
-    val canon = canonicalize(linked.toDF(), staticCanonMap(spark))
-    val triples =
-      if (relationalEmit) TripleEmit.emit(canon)
-      else TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
-    Stages(files, ments, canon, triples)
+    val st = stagesFor(files)
+    if (relationalEmit) st.copy(triples = TripleEmit.emit(st.canonMentions))
+    else st
   }
 
   /** Canonical map from the static dictionary PLUS mention-derived
@@ -98,18 +93,23 @@ object Pipeline {
   }
 
   /** THE standard stage chain over an arbitrary file slice: extract ->
-    * link -> canonicalize (static map) -> fused emit. Shared by the
-    * batch entry points and the incremental splice
-    * ([[graft.incremental.IncrementalPipeline]]) so "re-extract this
-    * slice" can never diverge from the full pipeline. */
-  def triplesFor(files: Dataset[SourceFileHashed]): DataFrame = {
+    * link -> canonicalize (static map) -> fused emit. Every batch entry
+    * point ([[run]], [[runFromTable]]) AND the incremental splice
+    * ([[graft.incremental.IncrementalPipeline]]) go through here, so
+    * "re-extract this slice" can never diverge from the full pipeline
+    * — structurally, not by convention. */
+  def stagesFor(files: Dataset[SourceFileHashed]): Stages = {
     val spark = files.sparkSession
     import spark.implicits._
     val ments = Extract.mentionsFused(files)
     val linked = Linker.link(ments)
     val canon = canonicalize(linked.toDF(), staticCanonMap(spark))
-    TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
+    Stages(files, ments, canon,
+      TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF())
   }
+
+  def triplesFor(files: Dataset[SourceFileHashed]): DataFrame =
+    stagesFor(files).triples
 
   /** Pipeline over a materialized source table (the production shape:
     * north_star reads the Iceberg source-code table; synthesis is data
@@ -119,11 +119,7 @@ object Pipeline {
     import spark.implicits._
     val files = spark.read.parquet(path).as[SourceFileHashed]
     if (verifySha) Extract.verifyIntegrity(files)
-    val ments = Extract.mentionsFused(files)
-    val linked = Linker.link(ments)
-    val canon = canonicalize(linked.toDF(), staticCanonMap(spark))
-    val triples = TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
-    Stages(files, ments, canon, triples)
+    stagesFor(files)
   }
 
   /** Gold triples for the same corpus slice (closed-form). */

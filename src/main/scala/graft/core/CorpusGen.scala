@@ -72,7 +72,7 @@ object CorpusGen {
     val repo = repoOf(fileId)
     val pkg = s"pkg${fileId % 7}"
     val path = s"src/$pkg/File$fileId.${exts(lang)}"
-    val docId = s"$repo/$path"
+    val docId = DocId.of(repo, path)
     def canon(e: String): String = Vocab.canonicalOf.getOrElse(e, e)
 
     val lines = Vector.newBuilder[String]

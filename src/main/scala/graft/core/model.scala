@@ -91,6 +91,20 @@ final case class ManifestRow(
     metricsJson: String,
     committedAt: Long)
 
+/** THE docId scheme: `repo/path`. One definition shared by extraction,
+  * the sequential twin, streaming, resumable bucketing, the corpus
+  * generator, and the incremental splice — independent re-spellings of
+  * the format would let a drift silently break every docId equi-join
+  * (stale triples kept alongside their re-extraction). */
+object DocId {
+  def of(repo: String, path: String): String = s"$repo/$path"
+  /** Column form over a table with (repo, path). */
+  def column: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    concat(col("repo"), lit("/"), col("path"))
+  }
+}
+
 object TypeDict {
   /** Fixed-order entity type dictionary (ours), mirroring the
     * per-dataset hardcoded lists in reference data_util.py:93-100. */

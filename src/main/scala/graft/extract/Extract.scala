@@ -48,7 +48,7 @@ object Extract {
   /** content -> per-line sentences (flatMap, narrow). */
   def sentences(files: Dataset[SourceFileHashed]): Dataset[Sentence] = {
     import files.sparkSession.implicits._
-    files.flatMap(f => Tokenizer.sentences(s"${f.repo}/${f.path}", f.content))
+    files.flatMap(f => Tokenizer.sentences(DocId.of(f.repo, f.path), f.content))
   }
 
   /** The distributed kernel stage over an explicit sentence table
@@ -93,7 +93,7 @@ object Extract {
       .mapPartitions { it =>
         val w = bw.value
         it.flatMap { f =>
-          Tokenizer.sentences(s"${f.repo}/${f.path}", f.content)
+          Tokenizer.sentences(DocId.of(f.repo, f.path), f.content)
             .iterator.flatMap(s => TriaffineScorer.mentions(s, w))
         }
       }
@@ -114,7 +114,7 @@ object ReferenceScorer {
     val w = Weights.default
     fileIds.iterator.flatMap { id =>
       val f = CorpusGen.file(id.toLong).source
-      Tokenizer.sentences(s"${f.repo}/${f.path}", f.content)
+      Tokenizer.sentences(DocId.of(f.repo, f.path), f.content)
         .flatMap(s => TriaffineScorer.mentions(s, w))
     }.toVector
   }

@@ -28,21 +28,41 @@ object IncrementalPipeline {
 
   private val key = Seq("repo", "path", "sha256")
 
-  /** Files of `cur` that are NEW or CONTENT-CHANGED vs `prev`:
-    * left_anti on (repo, path, sha256). */
+  /** Compact (repo, path, sha256) keys of `cur` rows that are NEW or
+    * CONTENT-CHANGED vs `prev` — the change-detection anti-join runs
+    * on KEY PROJECTIONS of both sides, so no content column ever
+    * enters this shuffle. */
+  def changedKeys(cur: Dataset[SourceFileHashed],
+      prev: Dataset[SourceFileHashed]): org.apache.spark.sql.DataFrame =
+    cur.toDF().select(key.map(col): _*)
+      .join(prev.toDF().select(key.map(col): _*), key, "left_anti")
+
+  /** Files of `cur` that are NEW or CONTENT-CHANGED vs `prev`.
+    * Two-step shape so the wide content rows stay put in the common
+    * case: the anti-join above shuffles only compact keys; the
+    * semi-join back against `cur` carries no broadcast hint, so AQE
+    * broadcasts the (typically tiny) changed-key delta and `cur`'s
+    * content never shuffles. When the delta IS corpus-sized (a full
+    * re-ingest) the semi-join falls back to a shuffle — bounded by the
+    * re-extraction work that run must do anyway. A single direct
+    * anti-join of `cur` against prev's keys would instead sort-merge
+    * against a corpus-sized right side EVERY run, shuffling the whole
+    * snapshot's content even when nothing changed. */
   def changedFiles(cur: Dataset[SourceFileHashed],
       prev: Dataset[SourceFileHashed]): Dataset[SourceFileHashed] = {
     import cur.sparkSession.implicits._
-    cur.join(prev.toDF().select(key.map(col): _*), key, "left_anti")
+    cur.join(changedKeys(cur, prev), key, "left_semi")
       .as[SourceFileHashed]
   }
 
   /** docIds whose `prev` version is no longer current (modified OR
-    * removed) — their old triples must be dropped. */
+    * removed) — their old triples must be dropped. Key projections on
+    * both sides, same as [[changedKeys]]. */
   def staleDocIds(cur: Dataset[SourceFileHashed],
       prev: Dataset[SourceFileHashed]): DataFrame =
-    prev.toDF().join(cur.toDF().select(key.map(col): _*), key, "left_anti")
-      .select(concat(col("repo"), lit("/"), col("path")).as("docId"))
+    prev.toDF().select(key.map(col): _*)
+      .join(cur.toDF().select(key.map(col): _*), key, "left_anti")
+      .select(graft.core.DocId.column.as("docId"))
       .distinct()
 
   /** Triples of the `cur` snapshot, computed incrementally from the
@@ -52,13 +72,12 @@ object IncrementalPipeline {
   def incrementalTriples(prevTriples: DataFrame,
       prev: Dataset[SourceFileHashed],
       cur: Dataset[SourceFileHashed]): DataFrame = {
-    // the join key moves docId to the front — restore the caller's
-    // column order so positional consumers (unions, parquet appends)
-    // see the same schema as a full recompute
+    // a using-column join surfaces the key column first — restore the
+    // caller's column order so positional consumers (exceptAll,
+    // parquet appends) see the same schema as a full recompute
     val kept = prevTriples.join(staleDocIds(cur, prev), Seq("docId"),
       "left_anti")
-    val fresh = Pipeline.triplesFor(changedFiles(cur, prev))
-    kept.unionByName(fresh.select(kept.columns.map(col): _*))
+    kept.unionByName(Pipeline.triplesFor(changedFiles(cur, prev)))
       .select(prevTriples.columns.map(col): _*)
   }
 }

@@ -21,7 +21,7 @@ object ResumablePipeline {
   /** Bucket = hash of the docId string (repo/path) so the file-side and
     * triple-side bucket assignments are identical by construction. */
   def bucketOfFiles(nBuckets: Int) =
-    pmod(xxhash64(concat(col("repo"), lit("/"), col("path"))),
+    pmod(xxhash64(graft.core.DocId.column),
       lit(nBuckets)).cast("int")
 
   /** Returns #buckets computed this invocation. */

@@ -98,9 +98,15 @@ object TextOps {
       replace(c, lit(f), lit(t)) }
 
   /** `remove_space` (align_input.py:13-15, string form): drop ALL
-    * whitespace, then clean. */
+    * whitespace, then clean. The whitespace class is spelled out
+    * explicitly — Java-regex \s is [ \t\n\x0B\f\r] while DuckDB's RE2
+    * \s lacks \x0B, so a shorthand class would diverge between the
+    * engine and its oracle on a vertical tab. (Python's str.split also
+    * strips Unicode whitespace; this chain matches the reference on
+    * ASCII text, which is what the corpus and documents tables are.) */
+  val wsClass = "[ \\t\\n\\x0B\\f\\r]"
   def removeSpace(text: Column): Column =
-    ptbClean(regexp_replace(text, "\\s", ""))
+    ptbClean(regexp_replace(text, wsClass, ""))
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the classic
     * rolling-hash document fingerprint): hash every char k-gram, then

@@ -130,6 +130,10 @@ object RelationalQueries {
   // job, then contiguous offsets). A row_number() over an empty
   // partition spec would instead funnel the ENTIRE vocabulary into one
   // partition — caught by PlanSpec's unpartitioned-window sweep.
+  // NOTE zipWithIndex runs its count job EAGERLY at DataFrame
+  // construction (unlike every other lazy Q here) — acceptable for a
+  // dimension build, and the only lazy alternative is the global
+  // window this replaced.
   private val vocabBuild: Q = (s, d) => {
     import s.implicits._
     val docs = t(s, d, "documents")

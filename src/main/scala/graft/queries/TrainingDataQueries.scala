@@ -262,9 +262,12 @@ object TrainingDataQueries {
          |    CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS mean_word_len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" -> langIdOracle,
+    // the whitespace class interpolates from TextOps.wsClass — one
+    // definition for both engines (shorthand \s differs: Java has
+    // \x0B in it, RE2 does not)
     "clean_align" ->
       s"""SELECT doc_id, ${cleanOver("text")} AS cleaned,
-         |  ${cleanOver("regexp_replace(text, '\\s', '', 'g')")} AS squeezed
+         |  ${cleanOver(s"regexp_replace(text, '${TextOps.wsClass}', '', 'g')")} AS squeezed
          |FROM documents ORDER BY doc_id""".stripMargin,
     "winnow_fp" ->
       """WITH p AS (SELECT doc_id AS doc, text, length(text) - 7 AS n,

@@ -33,7 +33,7 @@ object StreamingPipeline {
     val bw = spark.sparkContext.broadcast(Weights.default)
     files.flatMap { f =>
       val w = bw.value
-      Tokenizer.sentences(s"${f.repo}/${f.path}", f.content)
+      Tokenizer.sentences(graft.core.DocId.of(f.repo, f.path), f.content)
         .flatMap(s => TriaffineScorer.mentions(s, w))
     }
   }

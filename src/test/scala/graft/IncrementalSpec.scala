@@ -44,6 +44,32 @@ class IncrementalSpec extends SparkSpec {
       "incremental result diverges from the full recompute")
   }
 
+  test("change detection prunes scans to keys; small delta broadcasts back") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("incr-plan").toString
+    spark.range(0, 300).map(i => CorpusGen.file(i).source)
+      .write.parquet(s"$tmp/prev")
+    spark.range(0, 310).map(i => CorpusGen.file(i).source)
+      .write.parquet(s"$tmp/cur")
+    val prev = spark.read.parquet(s"$tmp/prev").as[SourceFileHashed]
+    val cur = spark.read.parquet(s"$tmp/cur").as[SourceFileHashed]
+    // the change-detection join reads ONLY the key columns: column
+    // pruning must reach both parquet scans — content never enters it
+    val keys = IncrementalPipeline.changedKeys(cur, prev)
+    keys.collect()
+    val kp = keys.queryExecution.executedPlan.toString
+    assert(!kp.contains("content"),
+      s"content inside the change-detection plan:\n${kp.take(2000)}")
+    // fetching the changed files: AQE broadcasts the small delta, so
+    // cur's wide content rows are never exchanged at all
+    val changed = IncrementalPipeline.changedFiles(cur, prev)
+    assert(changed.count() == 10)
+    val cp = changed.queryExecution.executedPlan.toString
+    assert(cp.contains("BroadcastHashJoin"), cp.take(2000))
+    assert(!cp.contains("Exchange hashpartitioning"),
+      s"content rows shuffled in the small-delta case:\n${cp.take(2000)}")
+  }
+
   test("an unchanged snapshot re-extracts nothing") {
     import spark.implicits._
     val files = spark.range(0, 50).map(i => CorpusGen.file(i).source)
