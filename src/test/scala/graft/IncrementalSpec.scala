@@ -2,6 +2,7 @@ package graft
 
 import graft.core.{CorpusGen, SourceFileHashed}
 import graft.incremental.IncrementalPipeline
+import org.apache.spark.sql.functions.col
 
 /** Same (repo, path, commit, lang) as file `id`, content swapped with
   * file `contentId` — a deterministic "modification". Standalone object
@@ -68,6 +69,26 @@ class IncrementalSpec extends SparkSpec {
     assert(cp.contains("BroadcastHashJoin"), cp.take(2000))
     assert(!cp.contains("Exchange hashpartitioning"),
       s"content rows shuffled in the small-delta case:\n${cp.take(2000)}")
+  }
+
+  test("snapshot N -> N+1: incremental result publishes as the next graph snapshot") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("incr-pub").toString
+    val prev = spark.range(0, 80).map(i => CorpusGen.file(i).source)
+    val cur = spark.range(0, 120).map(i => CorpusGen.file(i).source)
+    val prevTriples = Pipeline.triplesFor(prev).localCheckpoint()
+    graft.sources.GraphTables.write(prevTriples, s"$tmp/graph", "snapA")
+    val incr = IncrementalPipeline
+      .incrementalTriples(prevTriples, prev, cur).localCheckpoint()
+    val (n, _) = graft.sources.GraphTables.write(incr, s"$tmp/graph", "snapB")
+    assert(graft.sources.GraphTables.latestSnapshot(spark, s"$tmp/graph")
+      .contains("snapB"))
+    val published = graft.sources.GraphTables.read(spark, s"$tmp/graph")
+      .drop("bucket")
+    val full = Pipeline.triplesFor(cur)
+    assert(n == full.count())
+    assert(published.exceptAll(full.select(published.columns.map(col): _*))
+      .isEmpty, "published snapshot diverges from full recompute")
   }
 
   test("an unchanged snapshot re-extracts nothing") {
