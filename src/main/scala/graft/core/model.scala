@@ -26,10 +26,6 @@ final case class SourceFileHashed(
     content: String,
     sha256: String)
 
-/** A gold mention; `end` is EXCLUSIVE like the reference
-  * (reference data_util.py:331-332 uses end-1 as inclusive tail). */
-final case class Gold(start: Int, end: Int, entType: String)
-
 /** One tokenized sentence (one logical code line).
   * Analog of the reference JSON record (data_util.py:481-494), INCLUDING
   * the left/right context sentences: the reference fuses ltokens/rtokens

@@ -110,11 +110,16 @@ object ResumableStage {
     // Column order is canonicalized (sorted names) so the fingerprint is
     // stable across the write schema vs the read-back schema (partition
     // columns move to the end on read).
-    // an all-empty write leaves only _SUCCESS in outPath — parquet
-    // schema inference fails there, but the correct outcome is 0-row
-    // manifest commits for every todo bucket, not a crash
+    // An all-empty write leaves only _SUCCESS in outPath (no bucket=
+    // dirs) — probe for that EXPLICITLY and commit 0-row buckets. A
+    // blanket AnalysisException catch here would also swallow real
+    // read-back failures and silently commit rowCount=0 fingerprints
+    // for buckets whose data WAS durably written.
+    val hasData = outFs.exists(outP) &&
+      outFs.listStatus(outP).exists(_.getPath.getName.startsWith("bucket="))
     val stats =
-      try {
+      if (!hasData) Array.empty[org.apache.spark.sql.Row]
+      else {
         val written = spark.read.parquet(outPath)
           .filter($"bucket".isin(todo: _*))
         val dataCols = written.columns.filter(_ != "bucket").sorted.toSeq
@@ -125,9 +130,6 @@ object ResumableStage {
             format_string("%016x",
               coalesce(expr("bit_xor(h)"), lit(0L))).as("sha256Agg"))
           .collect()
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          Array.empty[org.apache.spark.sql.Row]
       }
     val now = System.currentTimeMillis()
     val rows = todo.map { b =>

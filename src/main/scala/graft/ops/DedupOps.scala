@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   *
   * All hash arithmetic is the portable md5-60bit + modular family
   * (a_i*x + b_i mod p) so the DuckDB oracles replicate results exactly.
+  *
+  * Caching contract: the pair functions `cache()` their shared posting
+  * table (read by both the candidate and verification branches) and
+  * return a LAZY DataFrame, so they cannot unpersist it themselves —
+  * the CALLER owns cleanup (`spark.catalog.clearCache()` between
+  * unrelated queries, as Verify and Bench do). cache() is chosen over
+  * localCheckpoint deliberately: cached blocks are recomputable on
+  * executor loss, a checkpoint's lineage cut is not — the right trade
+  * on a real cluster.
   */
 object DedupOps {
 

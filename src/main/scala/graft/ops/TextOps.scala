@@ -21,19 +21,28 @@ object TextOps {
 
   def words(text: Column): Column = split(text, " ")
 
+  /** Whitespace chars spelled explicitly, shared by every regex here
+    * AND interpolated into the DuckDB oracles: Java-regex \s includes
+    * \x0B, RE2's \s does not, so the shorthand silently diverges
+    * between engine and oracle on a vertical tab. */
+  val wsChars = " \\t\\n\\x0B\\f\\r"
+  val wsClass = s"[$wsChars]"
+
   /** Whitespace token count + BPE-ish subtoken count (letters runs,
     * digit runs, single punctuation — a regex proxy for byte-pair
     * pieces). */
   def tokenCounts(text: Column): (Column, Column) = (
     size(words(text)),
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+    size(regexp_extract_all(text,
+      lit(s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9$wsChars]"), lit(0))))
 
   /** Quality features: counts are exact ints; ratios single divisions. */
   def qualityCols(text: Column): Seq[(String, Column)] = {
     val ws = words(text)
     val nTok = size(ws)
     val nChar = length(text)
-    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nPunct =
+      size(regexp_extract_all(text, lit(s"[^A-Za-z0-9$wsChars]"), lit(0)))
     val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
     val nStop = size(filter(ws, w => w.isin(stopEn: _*)))
     Seq(
@@ -98,13 +107,10 @@ object TextOps {
       replace(c, lit(f), lit(t)) }
 
   /** `remove_space` (align_input.py:13-15, string form): drop ALL
-    * whitespace, then clean. The whitespace class is spelled out
-    * explicitly — Java-regex \s is [ \t\n\x0B\f\r] while DuckDB's RE2
-    * \s lacks \x0B, so a shorthand class would diverge between the
-    * engine and its oracle on a vertical tab. (Python's str.split also
-    * strips Unicode whitespace; this chain matches the reference on
-    * ASCII text, which is what the corpus and documents tables are.) */
-  val wsClass = "[ \\t\\n\\x0B\\f\\r]"
+    * whitespace ([[wsClass]] — see its note on Java-vs-RE2 \s), then
+    * clean. (Python's str.split also strips Unicode whitespace; this
+    * chain matches the reference on ASCII text, which is what the
+    * corpus and documents tables are.) */
   def removeSpace(text: Column): Column =
     ptbClean(regexp_replace(text, wsClass, ""))
 

@@ -30,9 +30,15 @@ object TopK {
     new Aggregator[Row3, Buf, Seq[(Double, Long)]] {
       private def insert(items: List[(Double, Long)],
           v: (Double, Long)): List[(Double, Long)] = {
-        // keep sorted by (-score, id); bounded at k
-        val merged = (v :: items).sortBy { case (s, id) => (-s, id) }
-        merged.take(k)
+        // single-pass ordered insert into the already-(-score, id)-
+        // sorted list, bounded at k — re-sorting the whole buffer per
+        // input row would be O(k log k) each and dominate the
+        // aggregation at scale (reduce runs once per row; the rare
+        // merge below may still sort)
+        val (before, after) = items.span { case (s, id) =>
+          s > v._1 || (s == v._1 && id < v._2)
+        }
+        (before ::: v :: after).take(k)
       }
       def zero: Buf = Buf(Nil)
       def reduce(b: Buf, r: Row3): Buf = {

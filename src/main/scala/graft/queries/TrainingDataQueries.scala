@@ -246,12 +246,14 @@ object TrainingDataQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the [^...] classes interpolate TextOps.wsChars — shorthand \s
+    // differs between Java regex (engine) and RE2 (oracle) on \x0B
     "text_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws,
-         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_subtokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9${TextOps.wsChars}]')) AS INT) AS n_subtokens,
          |  CAST(length(text) AS INT) AS n_chars,
-         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9${TextOps.wsChars}]')) AS DOUBLE) /
          |    CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
          |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) /
          |    CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,

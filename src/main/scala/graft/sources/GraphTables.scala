@@ -40,24 +40,37 @@ object GraphTables {
   def bucketCol(subj: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(subj), lit(NumBuckets)).cast("int")
 
-  /** Returns (rowCount, contentHash) of the published data — callers
+  private def snapDir(path: String, snapshotId: String): String =
+    s"$path/data/snap=$snapshotId"
+
+  /** Publish one snapshot into its OWN directory, THEN append the
+    * manifest row. The previous snapshot's data is never touched, so a
+    * crash between the data write and the manifest append leaves
+    * readers on the old snapshot with a still-consistent manifest (an
+    * orphaned snap dir at worst) — publishing in place would destroy
+    * the committed snapshot before the new one commits. Readers
+    * resolve the snapshot via the manifest ([[read]] takes the
+    * latest), which also gives time-travel reads ([[readSnapshot]]).
+    * Returns (rowCount, contentHash) of the published data — callers
     * wanting the count must not re-scan the table they just wrote. */
   def write(triples: DataFrame, path: String,
       snapshotId: String): (Long, String) = {
     val spark = triples.sparkSession
     val withB = triples.withColumn("bucket", bucketCol(col("subj")))
-    // explicit STATIC overwrite: this publish replaces the whole table,
-    // including (pred, bucket) partitions absent from the new snapshot
-    // — immune to any dynamic-overwrite session conf set elsewhere
+    // explicit STATIC overwrite of THIS snapshot's dir: a republish of
+    // the same snapshotId replaces it wholesale, including (pred,
+    // bucket) partitions absent from the new data — immune to any
+    // dynamic-overwrite session conf set elsewhere
     withB.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "static")
-      .partitionBy("pred", "bucket").parquet(s"$path/data")
+      .partitionBy("pred", "bucket").parquet(snapDir(path, snapshotId))
     // fingerprint the data ACTUALLY WRITTEN (read back from disk), not
     // a recomputation of the input plan — recomputing would run the
     // whole upstream pipeline a second time and hash rows that were
     // never made durable
     import spark.implicits._
-    val (n, h) = ContentHash.hex(spark.read.parquet(s"$path/data"),
+    val (n, h) = ContentHash.hex(
+      spark.read.parquet(snapDir(path, snapshotId)),
       Seq("subj", "pred", "obj", "docId"))
     Seq((n, h, snapshotId, System.currentTimeMillis()))
       .toDF("rowCount", "contentHash", "snapshotId", "committedAt")
@@ -65,8 +78,16 @@ object GraphTables {
     (n, h)
   }
 
+  /** The latest COMMITTED snapshot (manifest-resolved) — an
+    * uncommitted/partial publish is invisible here. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/data")
+    readSnapshot(spark, path, latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path")))
+
+  /** Time-travel read of one committed snapshot. */
+  def readSnapshot(spark: SparkSession, path: String,
+      snapshotId: String): DataFrame =
+    spark.read.parquet(snapDir(path, snapshotId))
 
   /** Out-edges of one canonical entity under one predicate — the
     * point-lookup the bucket layout exists for. `bucketCol(lit(subj))`

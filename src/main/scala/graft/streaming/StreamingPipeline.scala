@@ -14,7 +14,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - [[extractStream]]: incremental mention extraction — readStream of
   *    source files -> the SAME kernel as the batch path (one code path,
   *    so batch/stream parity is by construction).
-  *  - [[windowedEventCounts]]: watermarked sliding-window aggregation
+  *  - [[windowedEventCounts]]: watermarked tumbling-window aggregation
   *    over an event stream.
   *  - [[sessionize]]: custom state via flatMapGroupsWithState — session
   *    = per-user gap-bounded event run, emitted on gap expiry.
@@ -38,7 +38,9 @@ object StreamingPipeline {
     }
   }
 
-  /** Watermarked sliding-window counts over (ts, event_type).
+  /** Watermarked TUMBLING-window counts over (ts, event_type) — one
+    * non-overlapping 5-minute window per event (pass a slide < width
+    * to `window()` for the sliding variant).
     * Parquet NTZ timestamps are cast to session-TZ timestamps (UTC)
     * because event-time watermarks require TIMESTAMP type. */
   def windowedEventCounts(events: DataFrame): DataFrame =
@@ -156,16 +158,25 @@ object StreamingPipeline {
       n_events: Int)
 
   /** Gap-based sessionization with explicit state (the
-    * KeyValueGroupedDataset custom-state surface). ProcessingTimeTimeout
-    * flushes a user's FINAL session once the gap elapses with no new
-    * events and removes the state entry — with NoTimeout the last
-    * session would never be emitted and the store would grow by one
-    * entry per user forever. */
-  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    * KeyValueGroupedDataset custom-state surface). EVENT-time timeout:
+    * the watermark advancing past last+gap flushes a user's FINAL
+    * session and removes the state entry — deterministic and
+    * replay-safe where a processing-time timer depends on wall clock
+    * (and a timer-driven query keeps scheduling empty timer batches, so
+    * it never quiesces under an AvailableNow backfill); with NoTimeout
+    * the last session would never be emitted and the store would grow
+    * by one entry per user forever. In batch mode the whole group
+    * arrives at once, so timeouts are moot and the trailing open
+    * session simply stays unemitted (same contract). */
+  def sessionize(events: Dataset[Ev], gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -179,7 +190,12 @@ object StreamingPipeline {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
+                  // min/max, not assignment: a LATE cross-batch event
+                  // inside the gap must extend the session's bounds,
+                  // never move `last` backward (which would corrupt the
+                  // next gap decision and could emit end < start)
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   out += Session(user, s.start, s.last, s.n)
                   cur = Some(SessionState(t, t, 1))
@@ -189,7 +205,14 @@ object StreamingPipeline {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              // flush timer rides the watermark, clamped strictly above
+              // it (a session whose gap already expired flushes at the
+              // next watermark tick). Batch mode has no watermark and
+              // ignores event-time timers — skip the call there.
+              try {
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
+              } catch { case _: UnsupportedOperationException => () }
             }
             out.result().iterator
           }

@@ -9,12 +9,13 @@ class MainSpec extends SparkSpec {
     graft.extract.Extract.corpus(spark, 80)
       .write.mode("overwrite").parquet(s"$tmp/corpus")
     Main.main(Array(s"$tmp/corpus", s"$tmp/work", "8", "snapA"))
-    val triples = spark.read.parquet(s"$tmp/work/graph/data")
+    val triples = graft.sources.GraphTables.read(spark, s"$tmp/work/graph")
     assert(triples.count() > 0)
     // idempotent restart: nothing recomputes, output unchanged
     val before = triples.count()
     Main.main(Array(s"$tmp/corpus", s"$tmp/work", "8", "snapA"))
-    assert(spark.read.parquet(s"$tmp/work/graph/data").count() == before)
+    assert(graft.sources.GraphTables.read(spark, s"$tmp/work/graph")
+      .count() == before)
     assert(graft.sources.GraphTables.latestSnapshot(spark, s"$tmp/work/graph")
       .contains("snapA"))
   }
@@ -48,13 +49,14 @@ class GraphSinkSpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("graph-table publish is a FULL overwrite even under a dynamic-overwrite session conf") {
+  test("publish is snapshot-isolated: no stale partitions, old snapshot intact") {
     val tmp = Files.createTempDirectory("graphow").toString
     val st = Pipeline.run(spark, 100)
     GraphTables.write(st.triples, tmp, "snap-1")
-    assert(GraphTables.read(spark, tmp)
-      .filter(col("pred") === "imports").count() > 0)
-    // leak the conf the way a buggy caller would, then republish a
+    val imports1 = GraphTables.read(spark, tmp)
+      .filter(col("pred") === "imports").count()
+    assert(imports1 > 0)
+    // leak the conf the way a buggy caller would, then publish a new
     // snapshot with a whole predicate missing
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -63,7 +65,11 @@ class GraphSinkSpec extends SparkSpec {
       val left = GraphTables.read(spark, tmp)
         .filter(col("pred") === "imports").count()
       assert(left == 0,
-        s"stale imports partition survived the full overwrite: $left rows")
+        s"stale imports partition leaked into the new snapshot: $left rows")
+      // the PREVIOUS snapshot is untouched (time travel) — the publish
+      // never destroys committed data before the new commit lands
+      assert(GraphTables.readSnapshot(spark, tmp, "snap-1")
+        .filter(col("pred") === "imports").count() == imports1)
     } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 

@@ -170,4 +170,61 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.toSet == Set(
       StreamingPipeline.Session(1, 0, 60000, 2)))
   }
+
+  test("late in-gap cross-batch event cannot move a session's end backward") {
+    // two runs over one checkpoint = real cross-batch state restore
+    // (an always-on MemoryStream query with ProcessingTimeTimeout runs
+    // continuous timeout batches and processAllAvailable never sees
+    // quiescence — the parquet + AvailableNow pattern used suite-wide
+    // avoids that)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sess-late").toString
+    val src = s"$dir/src"; val ckpt = s"$dir/ckpt"
+    // offset every event away from epoch 0: the initial watermark is 0
+    // and the stateful operator's late filter drops rows AT the
+    // watermark (ts <= wm), so a t=0 event would silently vanish
+    def ts(m: Long) = new java.sql.Timestamp((100 + m) * 60000)
+    val schema = Seq.empty[StreamingPipeline.Ev].toDS().schema
+    // Spark 4.1's async checkpoint-file checksum writer deadlocks this
+    // flatMapGroupsWithState query in local mode (executor tasks park
+    // forever in ChecksumCancellableFSDataOutputStream.close awaiting
+    // the checksum future); the feature is a corruption detector, not
+    // semantics — disable it for this test only
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      "false")
+    // foreachBatch, not the memory sink: only the former supports
+    // resuming from a checkpoint, which is the whole point here
+    def run(name: String): Set[StreamingPipeline.Session] = {
+      val buf = scala.collection.mutable.Set[StreamingPipeline.Session]()
+      val stream = spark.readStream.schema(schema).parquet(src)
+        .as[StreamingPipeline.Ev]
+      val q = StreamingPipeline.sessionize(stream, gapMs = 10 * 60000)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamingPipeline.Session],
+              _: Long) => buf ++= b.collect(); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      buf.toSet
+    }
+    try {
+      Seq(StreamingPipeline.Ev(1, ts(0), "a"),
+        StreamingPipeline.Ev(1, ts(10), "b"))
+        .toDS().write.mode("append").parquet(src)
+      assert(run("sess_late1").isEmpty) // one open session, none closed
+      // batch 2: t=8m is LATE but within the gap of last=10m -> merges
+      // without shrinking the session; t=40m splits (40-10 > gap)
+      Seq(StreamingPipeline.Ev(1, ts(8), "late"),
+        StreamingPipeline.Ev(1, ts(40), "c"))
+        .toDS().write.mode("append").parquet(src)
+      val got = run("sess_late2")
+      // pre-fix the late event dragged `last` back to minute 108 and
+      // the emitted session shrank
+      assert(got == Set(StreamingPipeline.Session(1,
+        ts(0).getTime, ts(10).getTime, 3)), s"$got")
+    } finally spark.conf
+      .unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+  }
 }
