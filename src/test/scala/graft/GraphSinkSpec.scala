@@ -10,9 +10,9 @@ class MainSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$tmp/corpus")
     Main.main(Array(s"$tmp/corpus", s"$tmp/work", "8", "snapA"))
     val triples = graft.sources.GraphTables.read(spark, s"$tmp/work/graph")
-    assert(triples.count() > 0)
-    // idempotent restart: nothing recomputes, output unchanged
     val before = triples.count()
+    assert(before > 0)
+    // idempotent restart: nothing recomputes, output unchanged
     Main.main(Array(s"$tmp/corpus", s"$tmp/work", "8", "snapA"))
     assert(graft.sources.GraphTables.read(spark, s"$tmp/work/graph")
       .count() == before)
@@ -100,9 +100,11 @@ class GraphSinkSpec extends SparkSpec {
     assert(n1 == 8)
     val full = ResumablePipeline.readTriples(spark, out)
       .orderBy("subj", "pred", "obj", "docId").collect()
-    // wipe half the buckets (data + manifest rows)
-    val manDf = spark.read.parquet(man).filter(col("bucket") < 4).cache()
-    manDf.count()
+    // wipe half the buckets (data + manifest rows). localCheckpoint,
+    // not cache: an evicted cached partition would recompute from the
+    // directory deleted below
+    val manDf = spark.read.parquet(man).filter(col("bucket") < 4)
+      .localCheckpoint()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(man))
     manDf.write.parquet(man)
     (4 until 8).foreach { b =>

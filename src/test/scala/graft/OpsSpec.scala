@@ -17,10 +17,11 @@ class OpsSpec extends SparkSpec {
     val lsh = DedupOps.minhashLshPairs(docs, "doc_id", "text", 0.7)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact), "LSH pairs must be verified-exact subset")
-    if (exact.nonEmpty) {
-      val recall = lsh.size.toDouble / exact.size
-      assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${exact.size})")
-    }
+    // deterministic fixture: a guard here would let a regression that
+    // empties jaccardPairs pass with both sets vacuously empty
+    assert(exact.nonEmpty, "fixture must contain exact near-dup pairs")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${exact.size})")
   }
 
   test("jaccard pairs are symmetric-free and within [0.7, 1]") {

@@ -123,9 +123,12 @@ class PipelineSpec extends SparkSpec {
     val st = Pipeline.run(spark, 60)
     val snakes = st.canonMentions
       .filter($"surface".contains("_") && $"entType" === "identifier")
-    if (snakes.count() > 0) {
-      val unresolved = snakes.filter($"entity" === $"surface").count()
-      assert(unresolved == 0, "snake_case surfaces must link to camelCase entities")
-    }
+    // the fixture is deterministic (~30% snake_case call sites at
+    // N=60): a guard here would let an extraction regression skip the
+    // whole assertion silently
+    assert(snakes.count() > 0, "fixture must contain snake_case mentions")
+    val unresolved = snakes.filter($"entity" === $"surface").count()
+    assert(unresolved == 0,
+      "snake_case surfaces must link to camelCase entities")
   }
 }

@@ -27,22 +27,25 @@ object GraftProps extends Properties("graft") {
         v == iou(b._1, b._2, a._1, a._2)
   }
 
-  property("streaming top-k == sort-take oracle") =
-    forAll(Gen.listOfN(60, Gen.choose(-100, 100))) { xs =>
-      val k = 10
-      val oracle = xs.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(k)
-      val sel = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-      xs.zipWithIndex.foreach { case (s, i) =>
-        if (sel.size < k || s > sel.last._1) {
-          var pos = sel.size
-          if (sel.size < k) sel += ((s, i)) else pos = k - 1
-          while (pos > 0 && s > sel(pos - 1)._1) {
-            sel(pos) = sel(pos - 1); pos -= 1
-          }
-          sel(pos) = ((s, i))
+  // drives the PRODUCTION aggregator (graft.ops.TopK.topKAgg): reduce
+  // per element over a random partition split, then merge — pure local
+  // calls, no Spark job per case. A test-local reimplementation here
+  // would stay green through any regression in the shipped code.
+  property("TopK aggregator (reduce+merge over random split) == sort-take") =
+    forAll(Gen.listOfN(60, Gen.choose(-100, 100)), Gen.choose(0, 60)) {
+      (xs, cut) =>
+        val k = 10
+        val agg = graft.ops.TopK.topKAgg(k)
+        val rows = xs.zipWithIndex.map { case (s, i) =>
+          (0L, s.toDouble, i.toLong)
         }
-      }
-      sel.toList == oracle
+        val (l, r) = rows.splitAt(cut)
+        def fold(part: Seq[(Long, Double, Long)]) =
+          part.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+        val got = agg.finish(agg.merge(fold(l), fold(r)))
+        val oracle = rows.map(x => (x._2, x._3))
+          .sortBy { case (s, id) => (-s, id) }.take(k)
+        got == oracle
     }
 
   property("SpanGen emits exactly the tri-masked cells") =

@@ -27,12 +27,13 @@ class ResumeSpec extends SparkSpec {
 
     // simulate crash: wipe output+manifest rows for half the buckets
     val keep = (0 until nBuckets / 2).toSet
+    // localCheckpoint, not cache: cache is best-effort, and an evicted
+    // partition would recompute from the directory deleted below
     val manDf = spark.read.parquet(man)
-      .filter(col("bucket").isin(keep.toSeq: _*)).cache()
-    manDf.count()
+      .filter(col("bucket").isin(keep.toSeq: _*)).localCheckpoint()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(man))
     manDf.write.parquet(man)
-    keep.foreach { b => () } // committed buckets' data stays
+    // committed buckets' data stays on disk; wipe only the other half
     (nBuckets / 2 until nBuckets).foreach { b =>
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(s"$out/bucket=$b"))

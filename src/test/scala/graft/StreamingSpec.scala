@@ -39,14 +39,23 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").format("memory").queryName("winagg")
       .trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
-    // append mode emits only watermark-closed windows; compare against
-    // the batch equivalent restricted to closed windows
+    // append mode emits only watermark-closed windows. Two-sided check
+    // (an inner join would silently ignore windows the streaming path
+    // DROPPED): every streamed row must equal its batch counterpart
+    // exactly, and every definitely-closed batch window must have been
+    // emitted.
     val got = spark.table("winagg")
     val batch = StreamingPipeline.windowedEventCounts(ev)
     assert(got.count() > 0)
-    val j = got.join(batch, Seq("w_start", "event_type"))
-      .filter(got("n") =!= batch("n")).count()
-    assert(j == 0, "streamed window counts must match batch")
+    assert(got.exceptAll(batch).isEmpty,
+      "streamed rows must be a subset of the batch result")
+    // definitely closed = window end strictly below the final watermark
+    // (max ts - 10 min delay); end = w_start + 5 min width
+    val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head()
+      .getTimestamp(0)
+    val closedBefore = new java.sql.Timestamp(maxTs.getTime - 15 * 60000)
+    assert(batch.filter(col("w_start") < closedBefore).exceptAll(got)
+      .isEmpty, "closed windows dropped by the streaming path")
   }
 
   test("streaming triples via foreachBatch == batch pipeline + manifest rows") {
@@ -194,7 +203,7 @@ class StreamingSpec extends SparkSpec {
       "false")
     // foreachBatch, not the memory sink: only the former supports
     // resuming from a checkpoint, which is the whole point here
-    def run(name: String): Set[StreamingPipeline.Session] = {
+    def run(): Set[StreamingPipeline.Session] = {
       val buf = scala.collection.mutable.Set[StreamingPipeline.Session]()
       val stream = spark.readStream.schema(schema).parquet(src)
         .as[StreamingPipeline.Ev]
@@ -213,13 +222,13 @@ class StreamingSpec extends SparkSpec {
       Seq(StreamingPipeline.Ev(1, ts(0), "a"),
         StreamingPipeline.Ev(1, ts(10), "b"))
         .toDS().write.mode("append").parquet(src)
-      assert(run("sess_late1").isEmpty) // one open session, none closed
+      assert(run().isEmpty) // one open session, none closed
       // batch 2: t=8m is LATE but within the gap of last=10m -> merges
       // without shrinking the session; t=40m splits (40-10 > gap)
       Seq(StreamingPipeline.Ev(1, ts(8), "late"),
         StreamingPipeline.Ev(1, ts(40), "c"))
         .toDS().write.mode("append").parquet(src)
-      val got = run("sess_late2")
+      val got = run()
       // pre-fix the late event dragged `last` back to minute 108 and
       // the emitted session shrank
       assert(got == Set(StreamingPipeline.Session(1,
