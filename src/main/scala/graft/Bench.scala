@@ -5,12 +5,16 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Benchmark harness (driver-run per round -> BENCH_r{N}.json).
   *
-  * Three sections, one JSON line out:
+  * Four sections, one JSON line out:
   *  1. headline operator queries at SPARK_GRAFT_CPUS on the sf dir;
   *  2. KG-pipeline throughput (triples/sec) at SPARK_GRAFT_CPUS,
   *     reading a MATERIALIZED parquet source table (the north-star
   *     pipeline reads the Iceberg source-code table; deterministic
-  *     synthesis is data prep and is excluded from the timed job);
+  *     synthesis is data prep and is excluded from the timed job) —
+  *     DYNAMIC canon, so the mined-canonicalization stage is inside
+  *     the measurement; 2b. frozen-encoder cache re-run (S3) — warm
+  *     re-score from the encoding cache vs a cold run over the same
+  *     slice;
   *  3. two-cluster-size scaling evidence. BASELINE.md: a real
   *     multi-executor cluster is unavailable in this sandbox, so the
   *     north rule's N-vs-4N-executor criterion is evidenced at two
@@ -104,18 +108,70 @@ object Bench {
     // each generator change rolls the key and would leak a multi-GB
     // /tmp dir per round forever.
     if (!Files.exists(Paths.get(corpusPath, "_SUCCESS"))) {
+      // Sweep rules: partial dirs (no _SUCCESS) always go; a COMPLETE
+      // stale-versioned corpus is deleted only when old enough that no
+      // concurrent bench on this host can still be mid-read on it
+      // (deleting a live one would fail that run or feed it a partial
+      // table). The current key's own dir is always fair game.
+      val staleAgeMs = 2L * 3600 * 1000    // complete, other version
+      val partialAgeMs = 30L * 60 * 1000   // mid-write by a live run?
+      val now = System.currentTimeMillis()
       Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith(s"graft_bench_corpus_${scaleFiles}_"))
+        .filter { d =>
+          val age = now - d.lastModified()
+          val complete = new java.io.File(d, "_SUCCESS").exists()
+          d.getName == s"graft_bench_corpus_${scaleFiles}_$corpusVer" ||
+            (!complete && age > partialAgeMs) ||
+            (complete && age > staleAgeMs)
+        }
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       Extract.corpusWrite(spark, scaleFiles, corpusPath)
     }
-    // 2: pipeline throughput at `cpus` (best of `trials`)
-    Pipeline.runFromTable(spark, corpusPath).triples.count() // warm
+    // 2: pipeline throughput at `cpus` (best of `trials`) — the
+    // DYNAMIC-canon variant: the canonical map is mined from the corpus
+    // (AliasMining + CC) inside the timed run, so canonicalization is
+    // measured as a data-scale stage, not a prebuilt dimension.
+    Pipeline.runFromTableDynamic(spark, corpusPath).triples.count() // warm
     val runs = (1 to trials).map(_ =>
-      time(Pipeline.runFromTable(spark, corpusPath).triples.count()))
+      time(Pipeline.runFromTableDynamic(spark, corpusPath).triples.count()))
     val nTriples = runs.head._1
     val tPipe = runs.map(_._2).min
     val tpsCpus = nTriples / tPipe
+
+    // 2b: frozen-encoder cache re-run (S3): a quarter-scale slice is
+    // encoded ONCE into the cache (untimed data prep); the warm run
+    // scores from the cache alone (no source read, no tokenize, no
+    // encode) vs the cold run over the same slice. Both use the static
+    // canon map — the comparison isolates the encode-skip.
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val sp = spark // stable identifier for the implicit encoder import
+    import sp.implicits._
+    val cachePath = s"/tmp/graft_bench_enccache_${scaleFiles}_$corpusVer"
+    def slice = sp.read.parquet(corpusPath)
+      .filter(pmod(xxhash64(col("repo"), col("path")), lit(4)) === 0)
+      .as[graft.core.SourceFileHashed]
+    if (!Files.exists(Paths.get(cachePath, "_SUCCESS"))) {
+      // same sweep discipline as the corpus dir (stale versions leak)
+      val now = System.currentTimeMillis()
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"graft_bench_enccache_${scaleFiles}_"))
+        .filter { dd =>
+          dd.getName == s"graft_bench_enccache_${scaleFiles}_$corpusVer" ||
+            now - dd.lastModified() > 2L * 3600 * 1000 ||
+            !new java.io.File(dd, "_SUCCESS").exists()
+        }
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      graft.extract.EncodingCache.write(
+        graft.extract.Extract.sentences(slice), cachePath)
+    }
+    Pipeline.triplesFor(slice).count() // warm JIT for the cold shape
+    val coldSec = (1 to trials)
+      .map(_ => time(Pipeline.triplesFor(slice).count())).map(_._2).min
+    val warmRuns = (1 to trials)
+      .map(_ => time(Pipeline.triplesFromCache(spark, cachePath).count()))
+    val warmSec = warmRuns.map(_._2).min
+    val cachedTriples = warmRuns.head._1
     spark.stop()
 
     // 3: scaling evidence, local[N] vs local[4N], same input.
@@ -130,13 +186,13 @@ object Bench {
     val configs = Seq(scaleN, 4 * scaleN)
     configs.foreach { n =>
       val s = session(n, s"graft-scale-warm-$n")
-      Pipeline.runFromTable(s, corpusPath).triples.count()
+      Pipeline.runFromTableDynamic(s, corpusPath).triples.count()
       s.stop()
     }
     val timed = (1 to trials).flatMap { _ =>
       configs.map { n =>
         val s = session(n, s"graft-scale-$n")
-        val r = time(Pipeline.runFromTable(s, corpusPath).triples.count())
+        val r = time(Pipeline.runFromTableDynamic(s, corpusPath).triples.count())
         s.stop()
         (n, r._1, r._2)
       }
@@ -161,6 +217,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
         s""""sf":"$sfDir","triples_per_sec":$tpsCpus,""" +
         s""""pipeline":{"files":$scaleFiles,"triples":$nTriples,"sec":$tPipe},""" +
+        s""""pipeline_cached":{"triples":$cachedTriples,""" +
+        s""""cold_sec":$coldSec,"warm_sec":$warmSec,""" +
+        s""""cold_tps":${cachedTriples / coldSec},""" +
+        s""""warm_tps":${cachedTriples / warmSec}},""" +
         s""""scaling":$scJson}"""
     println(line)
 

@@ -40,16 +40,25 @@ object Pipeline {
     rows.toSeq.toDF("entity", "canonical")
   }
 
-  /** THE canonicalization join — broadcast the tiny canonical map,
-    * left-join on entity, unknown entities stay self-canonical. One
-    * definition shared by every pipeline variant (in-process, dynamic,
-    * from-table, resumable, streaming) so the null-fallback rule can
-    * never silently diverge between paths. */
-  def canonicalize(linked: DataFrame, canonMap: DataFrame): DataFrame =
-    linked.join(broadcast(canonMap),
+  /** THE canonicalization join — left-join on entity, unknown entities
+    * stay self-canonical. One definition shared by every pipeline
+    * variant (in-process, dynamic, from-table, resumable, streaming) so
+    * the null-fallback rule can never silently diverge between paths.
+    *
+    * `hintBroadcast` is true ONLY for the static dictionary-derived map
+    * (a genuine dimension, known tiny). The mention-MINED dynamic map
+    * grows with the observed corpus vocabulary — millions of entities
+    * at 100 TB, a multi-GB broadcast if hinted — so the dynamic path
+    * passes false and AQE picks broadcast vs shuffle from the map's
+    * ACTUAL runtime size (asserted in PlanSpec). */
+  def canonicalize(linked: DataFrame, canonMap: DataFrame,
+      hintBroadcast: Boolean = true): DataFrame = {
+    val cm = if (hintBroadcast) broadcast(canonMap) else canonMap
+    linked.join(cm,
       linked("entity") === canonMap("entity"), "left")
       .select(linked("*"),
         coalesce(col("canonical"), linked("entity")).as("canonical"))
+  }
 
   /** relationalEmit = true uses the 5-branch DataFrame emitter
     * (operator showcase, needs a cache of the mention table);
@@ -74,22 +83,37 @@ object Pipeline {
     ConnectedComponents.canonicalMap(Linker.aliasDf(spark),
       Some(graft.canon.AliasMining.mentionAliasEdges(linked)))
 
-  /** Like [[run]] but with the mention-derived dynamic canonical map.
-    * The linked mention table is persisted because it feeds both the
-    * alias mining aggregation and the canon join (at cluster scale
-    * this is the stage boundary you would materialize anyway). */
-  def runDynamicCanon(spark: SparkSession, nFiles: Long): Stages = {
+  /** Dynamic-canon stage chain over an arbitrary file slice: the
+    * canonical map is mined from the corpus itself (AliasMining + CC),
+    * making canonicalization a data-scale stage. The linked mention
+    * table is persisted because it feeds both the alias mining
+    * aggregation and the canon join (at cluster scale this is the
+    * stage boundary you would materialize anyway). */
+  def dynamicStagesFor(files: Dataset[SourceFileHashed]): Stages = {
+    val spark = files.sparkSession
     import spark.implicits._
-    val files = Extract.corpus(spark, nFiles)
     val ments = Extract.mentionsFused(files)
     val linked = Linker.link(ments).toDF().persist()
     try {
-      val canon = canonicalize(linked, dynamicCanonMap(spark, linked))
+      val canon = canonicalize(linked, dynamicCanonMap(spark, linked),
+        hintBroadcast = false)
       val triples =
         TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
           .localCheckpoint()
       Stages(files, ments, canon, triples)
     } finally linked.unpersist()
+  }
+
+  /** Like [[run]] but with the mention-derived dynamic canonical map. */
+  def runDynamicCanon(spark: SparkSession, nFiles: Long): Stages =
+    dynamicStagesFor(Extract.corpus(spark, nFiles))
+
+  /** Dynamic-canon pipeline over a materialized source table — the
+    * BENCHED variant (Bench times this, so the measured number includes
+    * canonicalization as a data-scale stage, not a prebuilt dimension). */
+  def runFromTableDynamic(spark: SparkSession, path: String): Stages = {
+    import spark.implicits._
+    dynamicStagesFor(spark.read.parquet(path).as[SourceFileHashed])
   }
 
   /** THE standard stage chain over an arbitrary file slice: extract ->
@@ -110,6 +134,21 @@ object Pipeline {
 
   def triplesFor(files: Dataset[SourceFileHashed]): DataFrame =
     stagesFor(files).triples
+
+  /** Warm re-score path: triples from a frozen-encoder cache
+    * ([[graft.extract.EncodingCache]]) without touching the source
+    * table — the S3 re-run shape (new scoring/linking weights, same
+    * encoder). Downstream stages are THE shared ones (link ->
+    * canonicalize -> fused emit), so a warm run can never diverge from
+    * the cold pipeline except by skipping the encode. */
+  def triplesFromCache(spark: SparkSession, cachePath: String): DataFrame = {
+    import spark.implicits._
+    val ments = graft.extract.EncodingCache.mentionsFromCache(spark, cachePath)
+    val linked = Linker.link(ments)
+    canonicalize(linked.toDF(), staticCanonMap(spark))
+      .as[TripleEmit.CanonMention]
+      .transform(TripleEmit.emitFused).toDF()
+  }
 
   /** Pipeline over a materialized source table (the production shape:
     * north_star reads the Iceberg source-code table; synthesis is data

@@ -10,7 +10,7 @@ import graft.queries.{KgQueries, RelationalQueries, TrainingDataQueries}
   * SQL DuckDB equivalent for every SQL-expressible entry. KG-pipeline
   * entries run on the deterministic synthesized source-code corpus
   * (FIXTURES.md); their oracles are read_parquet selects over the
-  * closed-form gold tables Verify materializes under `outDir/_gold/`
+  * closed-form gold tables Verify materializes under `<outDir>_gold/`
   * (plus the ScalaTest parity suites).
   */
 object SparkEntry {

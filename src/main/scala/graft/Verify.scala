@@ -5,11 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
   * Also materializes the CLOSED-FORM GOLD tables (mentions, triples,
-  * corpus-with-content, canonical map) under `outDir/_gold/` — the
-  * kg_* oracles are DuckDB read_parquet selects over them (KgQueries
-  * .oracles), which turns the non-SQL-expressible kernel pipeline into
-  * hash-compared driver rows. `__OUTDIR__` in any oracle string is
-  * replaced with the absolute outDir before the dump. */
+  * corpus-with-content, canonical map) under the SIBLING dir
+  * `<outDir>_gold/` — the kg_* oracles are DuckDB read_parquet selects
+  * over them (KgQueries.oracles), which turns the non-SQL-expressible
+  * kernel pipeline into hash-compared driver rows. Gold lives OUTSIDE
+  * outDir because the driver treats every outDir subdirectory as a
+  * query result (round 2 recorded a phantom `_gold` row with
+  * `no_oracle`). `__GOLDDIR__`/`__OUTDIR__` in any oracle string are
+  * replaced with the absolute paths before the dump. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -22,6 +25,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // gold dir = SIBLING of outDir (never inside it — the driver scans
+    // outDir subdirs as query results); absolute, trailing-slash safe
+    val goldDir = new java.io.File(outDir).getAbsolutePath
+      .reverse.dropWhile(_ == '/').reverse + "_gold"
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -41,7 +48,7 @@ object Verify {
       // skip the remaining five and fail every downstream oracle at once
       def w(df: => org.apache.spark.sql.DataFrame, t: String): Unit =
         try df.coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/_gold/$t")
+          .parquet(s"$goldDir/$t")
         catch { case e: Throwable =>
           System.err.println(s"[verify] gold $t failed: ${e.getMessage}")
         }
@@ -80,7 +87,8 @@ object Verify {
     } + "\""
     val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUTDIR__", outAbs))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v
+        .replace("__GOLDDIR__", goldDir).replace("__OUTDIR__", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -29,8 +29,8 @@ import org.apache.spark.sql.functions._
   *    aggregates hub keys before the shuffle);
   *  - `localCheckpoint` cuts lineage every round (an iterative-join
   *    loop otherwise builds an exponentially deep plan);
-  *  - the per-round fixpoint probe is ONE tiny aggregate (count + xor
-  *    checksum of the edge set).
+  *  - the per-round fixpoint probe is ONE tiny aggregate job (count +
+  *    xor checksum + independent sum checksum of the edge set).
   */
 object ConnectedComponents {
 
@@ -43,10 +43,19 @@ object ConnectedComponents {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
 
-    def checksum(d: DataFrame): (Long, Long) = {
+    // fixpoint probe = THREE independent aggregates of the edge set:
+    // row count, xor of xxhash64(src,dst), and xor of xxhash64(dst,src)
+    // (reversed column order = an independent hash function — NOT a
+    // sum, which overflows Long under ANSI mode). A single xor could —
+    // astronomically rarely but silently — collide between distinct
+    // edge sets and stop the loop with wrong labels; for the loop to
+    // stop wrongly now, one edge-set change must simultaneously
+    // preserve the count and BOTH independent xors.
+    def checksum(d: DataFrame): (Long, Long, Long) = {
       val r = d.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(dst, src))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
 
     var prev = checksum(e)

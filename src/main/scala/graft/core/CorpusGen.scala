@@ -94,26 +94,46 @@ object CorpusGen {
       val lib = Vocab.libs(rng.nextInt(Vocab.libs.size))
       val mod = Vocab.mods(rng.nextInt(Vocab.mods.size))
       val sym = Vocab.types(rng.nextInt(Vocab.types.size))
-      val toks = Vector("import", lib, ".", mod, ".", sym)
-      val id = emit(toks)
-      mentions += GoldMention(docId, id, 1, 6, "api_symbol",
-        toks.slice(1, 6).mkString(" "))
-      triples += GoldTriple(docId, "imports", canon(sym), docId)
+      // ~25% SHORT imports (`import lib . mod`, no symbol): the K4
+      // backward-recurrence negative — locally a short import's tail
+      // (`mod`, next = line end) looks exactly like a full import's
+      // tail (`Sym`, next = line end); only the decayed count of dots
+      // to the RIGHT of the head (bwd slot) separates them. Short
+      // imports emit NO api_symbol mention and NO imports triple.
+      val full = rng.nextInt(4) > 0
+      if (full) {
+        val toks = Vector("import", lib, ".", mod, ".", sym)
+        val id = emit(toks)
+        mentions += GoldMention(docId, id, 1, 6, "api_symbol",
+          toks.slice(1, 6).mkString(" "))
+        triples += GoldTriple(docId, "imports", canon(sym), docId)
+      } else emit(Vector("import", lib, ".", mod))
     }
     emit(Vector()) // blank separator line
 
     val nFun = 1 + rng.nextInt(4)
     var prevFns = Vector.empty[String]
     (0 until nFun).foreach { _ =>
-      // --- doc comment line ---
+      // --- doc comment line: ~70% carry an entity, ~30% are PLAIN
+      // (lowercase filler, no DOCCAP token). Plain doc lines emit no
+      // doc_entity mention and no documented_as triple — and the def
+      // below them gets no documented_fn mention (the K5-full
+      // negative: both variants have identical ENDPOINT tokens, only
+      // the pooled mid-line content separates them). ---
       val ent = Vocab.docEntities(rng.nextInt(Vocab.docEntities.size))
       val verb = Vocab.verbs(rng.nextInt(Vocab.verbs.size))
       val noun = Vocab.nouns(rng.nextInt(Vocab.nouns.size))
+      val hasEnt = rng.nextInt(10) < 7
       val docToks =
-        if (lang == "python") Vector("#", "Uses", ent, "to", verb, noun)
-        else Vector("/**", "Uses", ent, "to", verb, noun, "*/")
+        if (lang == "python")
+          (if (hasEnt) Vector("#", "Uses", ent, "to", verb, noun)
+           else Vector("#", "uses", "it", "to", verb, noun))
+        else
+          (if (hasEnt) Vector("/**", "Uses", ent, "to", verb, noun, "*/")
+           else Vector("/**", "uses", "it", "to", verb, noun, "*/"))
       val docLine = emit(docToks)
-      mentions += GoldMention(docId, docLine, 2, 3, "doc_entity", ent)
+      if (hasEnt)
+        mentions += GoldMention(docId, docLine, 2, 3, "doc_entity", ent)
 
       // --- annotation / decorator line (~40% of functions) ---
       // Sits DIRECTLY above the def: the mention is only extractable
@@ -128,31 +148,63 @@ object CorpusGen {
         mentions += GoldMention(docId, annLine, 1, 2, "annotation", annName)
       }
 
-      // --- def line ---
+      // --- def line, ~50% with a SECOND parameter pair. Each
+      // `param : Type` pair is a param_decl mention (K4: the decision
+      // needs the far-left def keyword through the forward recurrence —
+      // the identical local pattern inside an ascribed CALL below must
+      // not fire). has_type triples are anchored on param_decl. ---
       val fname = Vocab.idents(rng.nextInt(Vocab.idents.size))
       var param = Vocab.idents(rng.nextInt(Vocab.idents.size))
       if (param == fname) param = Vocab.idents(
         (Vocab.idents.indexOf(param) + 1) % Vocab.idents.size)
       val ptype = Vocab.types(rng.nextInt(Vocab.types.size))
       val rtype = Vocab.types(rng.nextInt(Vocab.types.size))
-      val defToks = Vector("def", fname, "(", param, ":", ptype, ")",
-        ":", rtype) ++
+      val hasP2 = rng.nextInt(2) == 0
+      var param2 = Vocab.idents(rng.nextInt(Vocab.idents.size))
+      if (param2 == fname) param2 = Vocab.idents(
+        (Vocab.idents.indexOf(param2) + 1) % Vocab.idents.size)
+      val ptype2 = Vocab.types(rng.nextInt(Vocab.types.size))
+      val sigEnd = if (hasP2) 13 else 9  // exclusive end of the signature
+      val defToks = Vector("def", fname, "(", param, ":", ptype) ++
+        (if (hasP2) Vector(",", param2, ":", ptype2) else Vector()) ++
+        Vector(")", ":", rtype) ++
         (if (lang == "python") Vector(":") else Vector("=", "{"))
       val defLine = emit(defToks)
       mentions += GoldMention(docId, defLine, 1, 2, "function", fname)
-      mentions += GoldMention(docId, defLine, 1, 9, "signature",
-        defToks.slice(1, 9).mkString(" "))
+      mentions += GoldMention(docId, defLine, 1, sigEnd, "signature",
+        defToks.slice(1, sigEnd).mkString(" "))
       mentions += GoldMention(docId, defLine, 3, 4, "identifier", param)
       mentions += GoldMention(docId, defLine, 5, 6, "type_ref", ptype)
-      mentions += GoldMention(docId, defLine, 8, 9, "type_ref", rtype)
+      mentions += GoldMention(docId, defLine, 3, 6, "param_decl",
+        s"$param : $ptype")
+      if (hasP2) {
+        mentions += GoldMention(docId, defLine, 7, 8, "identifier", param2)
+        mentions += GoldMention(docId, defLine, 9, 10, "type_ref", ptype2)
+        mentions += GoldMention(docId, defLine, 7, 10, "param_decl",
+          s"$param2 : $ptype2")
+      }
+      mentions += GoldMention(docId, defLine, sigEnd - 1, sigEnd,
+        "type_ref", rtype)
+      // documented_fn (K5 full): only when the DIRECTLY preceding line
+      // is an entity-carrying doc comment (an annotation line in
+      // between hides it)
+      if (hasEnt && !hasAnn)
+        mentions += GoldMention(docId, defLine, 0, 2, "documented_fn",
+          s"def $fname")
       triples += GoldTriple(docId, "defines_symbol", canon(fname), docId)
       triples += GoldTriple(canon(param), "has_type", canon(ptype), docId)
-      triples += GoldTriple(canon(fname), "documented_as", canon(ent), docId)
+      if (hasP2)
+        triples += GoldTriple(canon(param2), "has_type", canon(ptype2), docId)
+      if (hasEnt)
+        triples += GoldTriple(canon(fname), "documented_as", canon(ent), docId)
       if (hasAnn)
         triples += GoldTriple(canon(fname), "documented_as", canon(annName),
           docId)
 
-      // --- body lines: val v = callee(arg) ---
+      // --- body lines: val v = callee(arg), ~30% with TYPE-ASCRIBED
+      // arguments — the K4 negative: `( a : T , b : U )` is locally
+      // indistinguishable from a def's parameter list, but there is no
+      // def keyword to the left, so NO param_decl and NO has_type. ---
       val nBody = rng.nextInt(3)
       (0 until nBody).foreach { _ =>
         val v = Vocab.idents(rng.nextInt(Vocab.idents.size))
@@ -163,11 +215,28 @@ object CorpusGen {
         // exercises the linking stage's alias-dictionary join.
         val surface =
           if (rng.nextInt(10) < 3) Vocab.snake(target) else target
-        val bodyToks = Vector("val", v, "=", surface, "(", param, ")")
-        val bodyLine = emit(bodyToks)
-        mentions += GoldMention(docId, bodyLine, 1, 2, "identifier", v)
-        mentions += GoldMention(docId, bodyLine, 3, 4, "identifier", surface)
-        mentions += GoldMention(docId, bodyLine, 5, 6, "identifier", param)
+        val ascribed = rng.nextInt(10) < 3
+        if (ascribed) {
+          val a2 = Vocab.idents(rng.nextInt(Vocab.idents.size))
+          val t2 = Vocab.types(rng.nextInt(Vocab.types.size))
+          val b2 = Vocab.idents(rng.nextInt(Vocab.idents.size))
+          val u2 = Vocab.types(rng.nextInt(Vocab.types.size))
+          val bodyToks = Vector("val", v, "=", surface, "(",
+            a2, ":", t2, ",", b2, ":", u2, ")")
+          val bodyLine = emit(bodyToks)
+          mentions += GoldMention(docId, bodyLine, 1, 2, "identifier", v)
+          mentions += GoldMention(docId, bodyLine, 3, 4, "identifier", surface)
+          mentions += GoldMention(docId, bodyLine, 5, 6, "identifier", a2)
+          mentions += GoldMention(docId, bodyLine, 7, 8, "type_ref", t2)
+          mentions += GoldMention(docId, bodyLine, 9, 10, "identifier", b2)
+          mentions += GoldMention(docId, bodyLine, 11, 12, "type_ref", u2)
+        } else {
+          val bodyToks = Vector("val", v, "=", surface, "(", param, ")")
+          val bodyLine = emit(bodyToks)
+          mentions += GoldMention(docId, bodyLine, 1, 2, "identifier", v)
+          mentions += GoldMention(docId, bodyLine, 3, 4, "identifier", surface)
+          mentions += GoldMention(docId, bodyLine, 5, 6, "identifier", param)
+        }
         triples += GoldTriple(canon(fname), "calls", canon(target), docId)
       }
       if (lang != "python") emit(Vector("}"))

@@ -103,10 +103,20 @@ object DocId {
 
 object TypeDict {
   /** Fixed-order entity type dictionary (ours), mirroring the
-    * per-dataset hardcoded lists in reference data_util.py:93-100. */
+    * per-dataset hardcoded lists in reference data_util.py:93-100.
+    * Round-3 additions, both decision-bearing for the sequence/context
+    * channels:
+    *  - `param_decl`: an `ident : Type` pair INSIDE a def signature —
+    *    the same local token pattern occurs in type-ascribed call
+    *    arguments, so the decision needs the far-away `def` keyword
+    *    via the whole-line forward recurrence (K4);
+    *  - `documented_fn`: a `def name` whose directly-preceding line is
+    *    a doc comment CONTAINING an entity — the entity sits mid-line,
+    *    so the decision needs the pooled previous-line context
+    *    (K5 full), not just its endpoint token. */
   val types: Vector[String] = Vector(
     "identifier", "function", "type_ref", "api_symbol", "doc_entity",
-    "signature", "annotation")
+    "signature", "annotation", "param_decl", "documented_fn")
   val typeToId: Map[String, Int] = types.zipWithIndex.toMap
   val numTypes: Int = types.size
   /** NA / non-entity class id (reference uses num_types as NA,

@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Strict span-level P/R/F1 (reference /root/reference/evaluation.py:69-103):
   * a prediction is correct iff (docId, sentId, start, end, entType)
-  * matches a gold row exactly. Pure DataFrame aggregation — the gold
-  * side is deduplicated and broadcast when small (SURVEY §2.3 J1,
-  * §2.4 A1). */
+  * matches a gold row exactly. Pure DataFrame aggregation. The
+  * full-outer match join SHUFFLES both sides on the match key: the gold
+  * side is corpus-proportional (never a legitimate broadcast at data
+  * scale), and a broadcast hash join cannot execute a full-outer
+  * build side anyway — Spark would silently ignore the hint.
+  * (SURVEY §2.3 J1, §2.4 A1). */
 object StrictMetric {
 
   private val keys = Seq("docId", "sentId", "start", "end", "entType")
@@ -19,7 +22,7 @@ object StrictMetric {
     * full-outer join on the match key + one aggregate (the plan runs
     * the expensive pred side exactly once). */
   def prf(pred: DataFrame, gold: DataFrame,
-      broadcastGold: Boolean = true): Prf = {
+      broadcastGold: Boolean = false): Prf = {
     val p = pred.select(keys.map(col): _*).dropDuplicates(keys)
       .withColumn("isP", lit(1L))
     val g0 = gold.select(keys.map(col): _*).dropDuplicates(keys)
@@ -56,6 +59,6 @@ object StrictMetric {
       .withColumn("isP", lit(1L))
     val g = goldT.select(k.map(col): _*).dropDuplicates(k)
       .withColumn("isG", lit(1L))
-    fromJoined(p.join(broadcast(g), k, "full_outer"))
+    fromJoined(p.join(g, k, "full_outer"))
   }
 }

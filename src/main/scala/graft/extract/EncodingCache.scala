@@ -22,9 +22,13 @@ object EncodingCache {
 
   // dim rides along so a reader under DIFFERENT Weights dims fails fast
   // (a wrong dim that happens to divide the payload length would
-  // otherwise slice at wrong offsets and score garbage silently)
+  // otherwise slice at wrong offsets and score garbage silently).
+  // tokens ride along so a WARM RE-SCORE run (new scoring weights, same
+  // frozen encoder — the reference's re-run-with-cached-BERT workflow)
+  // can decode surfaces/nextTok from the cache ALONE, never touching
+  // the source table ([[mentionsFromCache]]).
   final case class EncRow(docId: String, sentId: Int, dim: Int,
-      enc: Array[Double])
+      enc: Array[Double], tokens: Seq[String])
 
   /** Materialize encoder outputs, keyed by (docId, sentId). */
   def write(sents: Dataset[Sentence], path: String): Unit = {
@@ -38,9 +42,31 @@ object EncodingCache {
           TriaffineScorer.encodeSentence(
             s.tokens.toIndexedSeq, s.pos.toIndexedSeq,
             s.ltokens.toIndexedSeq, s.lpos.toIndexedSeq,
-            s.rtokens.toIndexedSeq, s.rpos.toIndexedSeq, w))
+            s.rtokens.toIndexedSeq, s.rpos.toIndexedSeq, w),
+          s.tokens)
       }
     }.write.mode("overwrite").parquet(path)
+  }
+
+  /** Warm re-score from the cache ALONE: one narrow scan of the
+    * encoding table -> scoreEncoded -> mentions. No source-table read,
+    * no tokenization, no join — the 100 TB re-run shape when only the
+    * scoring stage changed (S3's whole point: the frozen-encoder half
+    * of the kernel is never recomputed). Bit-identical to the direct
+    * path on the same corpus (same scoreEncoded arithmetic). */
+  def mentionsFromCache(spark: SparkSession, path: String): Dataset[Mention] = {
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(Weights.default)
+    spark.read.parquet(path).as[EncRow].mapPartitions { it =>
+      val w = bw.value
+      it.flatMap { e =>
+        require(e.dim == w.dim,
+          s"encoding cache at $path was written under dim ${e.dim}, " +
+            s"reader Weights has dim ${w.dim} — rewrite the cache")
+        TriaffineScorer.toMentions(e.docId, e.sentId,
+          e.tokens.toIndexedSeq, TriaffineScorer.scoreEncoded(e.enc, w))
+      }
+    }
   }
 
   /** Mentions from cached encodings: sentences ⋈ cache on

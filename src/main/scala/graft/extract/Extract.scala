@@ -93,8 +93,10 @@ object Extract {
       .mapPartitions { it =>
         val w = bw.value
         it.flatMap { f =>
-          Tokenizer.sentences(DocId.of(f.repo, f.path), f.content)
-            .iterator.flatMap(s => TriaffineScorer.mentions(s, w))
+          // per-FILE kernel entry: pooled line vectors shared across
+          // the file's sentences (each line pooled once, not 3x)
+          TriaffineScorer.mentionsForFile(
+            Tokenizer.sentences(DocId.of(f.repo, f.path), f.content), w)
         }
       }
   }

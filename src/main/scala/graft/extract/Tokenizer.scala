@@ -78,14 +78,21 @@ object Tokenizer {
     * blank separator deterministically breaks context. */
   def sentences(docId: String, content: String): Seq[Sentence] = {
     // /** ... */ block state: a bare `*`/`*/` continuation line is doc
-    // only while a /** block is open (single-line /** ... */ never opens)
+    // only while a /** block is open (single-line /** ... */ never
+    // opens). Markers are scanned LEFT-TO-RIGHT so multiple markers per
+    // line update state correctly (`x */ y /**` re-opens; a keyed
+    // contains() test models only one marker per line and mis-tags
+    // every following line on arbitrary source).
     var inDoc = false
     val lines = content.split("\n", -1).map { line =>
       val t = line.trim
       val isDoc = inDoc
-      if (t.contains("/**") &&
-        !t.substring(t.indexOf("/**") + 3).contains("*/")) inDoc = true
-      else if (inDoc && t.contains("*/")) inDoc = false
+      var i = 0
+      while (i < t.length) {
+        if (!inDoc && t.startsWith("/**", i)) { inDoc = true; i += 3 }
+        else if (inDoc && t.startsWith("*/", i)) { inDoc = false; i += 2 }
+        else i += 1
+      }
       tokenizeLine(line, isDoc)
     }
     lines.iterator.zipWithIndex.flatMap { case ((toks, tags), i) =>

@@ -11,13 +11,24 @@ import graft.core.{Mention, Sentence, TypeDict}
   * arithmetic over per-token feature vectors:
   *
   *   x_k   = [tag one-hot ; seeded word-hash embedding]      (dim)
-  *   h_k   = [x_{k-1} ; x_k ; x_{k+1} ; ctxPrev ; ctxNext]   (5*dim)
-  *   (ctxPrev/ctxNext = prev-line last / next-line first token — the
-  *    reference's context-aware encode over ltokens/rtokens, K5)
+  *   h_k   = [x_{k-1} ; x_k ; x_{k+1} ; ctxPrev ; ctxNext ;
+  *            f_k ; g_k]                                      (7*dim)
+  *   (ctxPrev/ctxNext = MEAN-POOLED feature vectors of the ENTIRE
+  *    adjacent lines — the reference's context-aware encode fuses the
+  *    full ltokens/rtokens streams, text_encoder.py:316-390, K5;
+  *    f_k = seqDecay*f_{k-1} + x_k and g_k = seqDecay*g_{k+1} + x_k
+  *    are whole-line forward/backward recurrences — the fixed-weight
+  *    realization of the reference's sequence fusion encoder,
+  *    text_encoder.py:112-134, K4: a rule can condition on a token
+  *    arbitrarily far away within the line)
   *   s1(i,j,r) = b_r + wHead_r·h_i + wTail_r·h_j + single/multi bias
+  *             + wLen_r * (j-i)                               (length)
   *             + eps * a_i^T M[i..j] b_j / len                (triaffine)
   *             + eps * wBi_r * (a_i·b_j)                      (biaffine)
-  *   where a_i = U h_i, b_j = V h_j, M[i..j] = sum_k (W x_k)(W x_k)^T
+  *   where a_i = U h_i[0:5d], b_j = V h_j[0:5d],
+  *   M[i..j] = sum_k (W x_k)(W x_k)^T (the eps-scale factors read
+  *   slots 0-4 only; the recurrence slots are consumed by the sparse
+  *   rule rows, keeping the per-token factor cost flat)
   *   stage 2: h_span = Σ_z alpha_z c_z with alpha = masked softmax over
   *   z∈[i,j] of (a_i·c_z)(c_z·b_j); s2 = s1 + eps * w2_r·h_span
   *
@@ -50,10 +61,13 @@ object TriaffineScorer extends Serializable {
     val nt: Int = TypeDict.numTypes + 1
     val x = Array.ofDim[Double](MaxN, w.dim)
     val h = Array.ofDim[Double](MaxN, w.hDim)
-    // cross-line context features (K5): prev-line last token,
-    // next-line first token — constant per sentence
+    // cross-line context features (K5): POOLED adjacent-line feature
+    // vectors — constant per sentence
     val cp = new Array[Double](w.dim)
     val cn = new Array[Double](w.dim)
+    // whole-line recurrence scratch (K4): running fwd/bwd states
+    val fwd = new Array[Double](w.dim)
+    val bwd = new Array[Double](w.dim)
     val a = Array.ofDim[Double](MaxN, w.rank)
     val b = Array.ofDim[Double](MaxN, w.rank)
     val c = Array.ofDim[Double](MaxN, w.rank)
@@ -216,11 +230,36 @@ object TriaffineScorer extends Serializable {
       w.nHashDims + w.nCharDims)
   }
 
+  /** MEAN-POOL a whole line's feature vectors into `out` (the K5 full
+    * context: the reference fuses the ENTIRE ltokens/rtokens streams,
+    * not endpoint tokens). Empty line -> the PAD vector. Accumulation
+    * order is token order — one definition shared by the per-sentence
+    * path, the per-file fast path and the encoding cache, so the pooled
+    * values are bit-identical everywhere. */
+  private[kernel] def poolInto(toks: IndexedSeq[String],
+      tags: IndexedSeq[String], out: Array[Double], w: Weights): Unit = {
+    val n = math.min(toks.length, MaxN)
+    if (n == 0) { System.arraycopy(workspace(w).pad, 0, out, 0, w.dim); return }
+    java.util.Arrays.fill(out, 0.0)
+    var k = 0
+    while (k < n) {
+      out(w.tagIdx.getOrElse(tags(k), w.tagIdx(Weights.PadTag))) += 1.0
+      val tv = tokenVec(toks(k), w)
+      var d = 0
+      while (d < w.nHashDims + w.nCharDims) {
+        out(w.nTagDims + d) += tv(d); d += 1
+      }
+      k += 1
+    }
+    var d = 0
+    while (d < w.dim) { out(d) /= n; d += 1 }
+  }
+
   /** Score one sentence -> surviving typed spans. Pure & deterministic
     * (per-thread scratch state never escapes). ltokens/rtokens are the
     * adjacent-line context (reference K5, text_encoder.py:316-390):
-    * the previous line's LAST token and the next line's FIRST token
-    * enter every position's fused vector (slots 3/4). */
+    * each line is MEAN-POOLED into every position's fused vector
+    * (slots 3/4). */
   def scoreSentence(tokens: IndexedSeq[String], tags: IndexedSeq[String],
       ltokens: IndexedSeq[String], ltags: IndexedSeq[String],
       rtokens: IndexedSeq[String], rtags: IndexedSeq[String],
@@ -235,12 +274,8 @@ object TriaffineScorer extends Serializable {
       k += 1
     }
     // cross-line context features (pad when no adjacent line)
-    if (ltokens.nonEmpty)
-      featurize(ltokens.last, ltags.last, ws.cp, w)
-    else System.arraycopy(ws.pad, 0, ws.cp, 0, w.dim)
-    if (rtokens.nonEmpty)
-      featurize(rtokens.head, rtags.head, ws.cn, w)
-    else System.arraycopy(ws.pad, 0, ws.cn, 0, w.dim)
+    poolInto(ltokens, ltags, ws.cp, w)
+    poolInto(rtokens, rtags, ws.cn, w)
     scoreFromWorkspace(n, ws, w)
   }
 
@@ -262,10 +297,8 @@ object TriaffineScorer extends Serializable {
       System.arraycopy(ws.x(k), 0, flat, k * w.dim, w.dim)
       k += 1
     }
-    if (ltokens.nonEmpty) featurize(ltokens.last, ltags.last, ws.cp, w)
-    else System.arraycopy(ws.pad, 0, ws.cp, 0, w.dim)
-    if (rtokens.nonEmpty) featurize(rtokens.head, rtags.head, ws.cn, w)
-    else System.arraycopy(ws.pad, 0, ws.cn, 0, w.dim)
+    poolInto(ltokens, ltags, ws.cp, w)
+    poolInto(rtokens, rtags, ws.cn, w)
     System.arraycopy(ws.cp, 0, flat, n * w.dim, w.dim)
     System.arraycopy(ws.cn, 0, flat, (n + 1) * w.dim, w.dim)
     flat
@@ -300,7 +333,7 @@ object TriaffineScorer extends Serializable {
       w: Weights): Seq[ScoredSpan] = {
     val nt = ws.nt
     val rank = w.rank
-    // window fusion h_k = [x_{k-1}; x_k; x_{k+1}; ctxPrev; ctxNext]
+    // fusion h_k = [x_{k-1}; x_k; x_{k+1}; ctxPrev; ctxNext; f_k; g_k]
     var k = 0
     while (k < n) {
       val h = ws.h(k)
@@ -311,6 +344,29 @@ object TriaffineScorer extends Serializable {
       System.arraycopy(ws.cp, 0, h, 3 * w.dim, w.dim)
       System.arraycopy(ws.cn, 0, h, 4 * w.dim, w.dim)
       k += 1
+    }
+    // whole-line recurrences (K4): forward f_k = decay*f_{k-1} + x_k
+    // into slot 5, backward g_k = decay*g_{k+1} + x_k into slot 6 —
+    // O(n*dim), and consumed only by the SPARSE rule rows below, so the
+    // sequence channel costs no extra work in the dense factor loops
+    java.util.Arrays.fill(ws.fwd, 0.0)
+    val dim5 = 5 * w.dim; val dim6 = 6 * w.dim
+    k = 0
+    while (k < n) {
+      val xk = ws.x(k); val f = ws.fwd
+      var d = 0
+      while (d < w.dim) { f(d) = w.seqDecay * f(d) + xk(d); d += 1 }
+      System.arraycopy(f, 0, ws.h(k), dim5, w.dim)
+      k += 1
+    }
+    java.util.Arrays.fill(ws.bwd, 0.0)
+    k = n - 1
+    while (k >= 0) {
+      val xk = ws.x(k); val g = ws.bwd
+      var d = 0
+      while (d < w.dim) { g(d) = w.seqDecay * g(d) + xk(d); d += 1 }
+      System.arraycopy(g, 0, ws.h(k), dim6, w.dim)
+      k -= 1
     }
     // triaffine factors + prefix sums of c c^T. The context blocks
     // (dims 3*dim..5*dim of h) are IDENTICAL for every k, so their
@@ -403,7 +459,7 @@ object TriaffineScorer extends Serializable {
           if (r == nt - 1) s = 0.0 + tri // NA baseline
           else {
             s = w.bias(r) + ws.headS(r)(i) + ws.tailS(r)(j) + tri +
-              bi * w.wBi(r) +
+              bi * w.wBi(r) + w.wLen(r) * (j - i) +
               (if (i == j) w.wSingle(r) else w.wMulti(r))
             if (s > best) best = s
           }
@@ -508,5 +564,48 @@ object TriaffineScorer extends Serializable {
       scoreSentence(toks, s.pos.toIndexedSeq,
         s.ltokens.toIndexedSeq, s.lpos.toIndexedSeq,
         s.rtokens.toIndexedSeq, s.rpos.toIndexedSeq, w))
+  }
+
+  /** Per-FILE fast path: score all of one file's sentences sharing the
+    * pooled line vectors. A sentence's ltokens/rtokens ARE the adjacent
+    * sentence's own tokens (same truncation — Tokenizer.sentences), so
+    * each line is pooled exactly ONCE and reused as its neighbors'
+    * cp/cn; the per-sentence path pools each adjacent line again (3x
+    * the pooling work per file). Bit-identical to mapping [[mentions]]
+    * over the sentences (same poolInto / scoreFromWorkspace arithmetic;
+    * asserted against the ReferenceScorer twin, which keeps the slow
+    * path). */
+  def mentionsForFile(sents: Seq[Sentence], w: Weights): Seq[Mention] = {
+    if (sents.isEmpty) return Nil
+    val ws = workspace(w)
+    // one pooled vector per non-blank line, keyed by raw line index
+    val pools = new java.util.HashMap[Int, Array[Double]]()
+    sents.foreach { s =>
+      val out = new Array[Double](w.dim)
+      poolInto(s.tokens.toIndexedSeq, s.pos.toIndexedSeq, out, w)
+      pools.put(s.sentId, out)
+    }
+    val out = Seq.newBuilder[Mention]
+    sents.foreach { s =>
+      val toks = s.tokens.toIndexedSeq
+      val n = math.min(toks.length, MaxN)
+      if (n > 0) {
+        var k = 0
+        while (k < n) { featurize(toks(k), s.pos(k), ws.x(k), w); k += 1 }
+        // adjacency rule mirrors Tokenizer.sentences: ltokens nonEmpty
+        // iff the raw line sentId-1 is a (non-blank) sentence. The
+        // poolInto fallback keeps callers passing a PARTIAL sentence
+        // list correct (pool computed directly, just not shared).
+        val cp = if (s.ltokens.nonEmpty) pools.get(s.sentId - 1) else null
+        if (cp != null) System.arraycopy(cp, 0, ws.cp, 0, w.dim)
+        else poolInto(s.ltokens.toIndexedSeq, s.lpos.toIndexedSeq, ws.cp, w)
+        val cn = if (s.rtokens.nonEmpty) pools.get(s.sentId + 1) else null
+        if (cn != null) System.arraycopy(cn, 0, ws.cn, 0, w.dim)
+        else poolInto(s.rtokens.toIndexedSeq, s.rpos.toIndexedSeq, ws.cn, w)
+        out ++= toMentions(s.docId, s.sentId, toks,
+          scoreFromWorkspace(n, ws, w))
+      }
+    }
+    out.result()
   }
 }

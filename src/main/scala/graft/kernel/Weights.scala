@@ -21,20 +21,23 @@ final case class Weights(
     nHashDims: Int,         // seeded word-hash embedding dims
     nCharDims: Int,         // char-recurrence encoder dims (K3)
     dim: Int,               // per-token feature dim
-    hDim: Int,              // fused window dim = 5*dim
+    hDim: Int,              // fused vector dim = 7*dim (see slots below)
+    ctxDim: Int,            // dims the triaffine factors read = 5*dim
     rank: Int,              // triaffine factor rank
     wHead: Array[Array[Double]],   // [numTypes+1][hDim]
     wTail: Array[Array[Double]],
     bias: Array[Double],
     wSingle: Array[Double],       // added when i==j
     wMulti: Array[Double],        // added when i<j
-    triU: Array[Array[Double]],   // [rank][hDim]  head factor
-    triV: Array[Array[Double]],   // [rank][hDim]  tail factor
-    triW: Array[Array[Double]],   // [rank][dim]   inside factor
+    wLen: Array[Double],          // per-type, added as wLen*(j-i)
+    triU: Array[Array[Double]],   // [rank][ctxDim] head factor
+    triV: Array[Array[Double]],   // [rank][ctxDim] tail factor
+    triW: Array[Array[Double]],   // [rank][dim]    inside factor
     w2: Array[Array[Double]],     // [numTypes+1][rank] stage-2 span-vec
     wBi: Array[Double],           // [numTypes+1] biaffine a_i·b_j weight
     charEmbed: Array[Array[Double]],   // [128][nCharDims] char vectors
     charDecay: Double,            // char recurrence decay
+    seqDecay: Double,             // whole-line fwd/bwd recurrence decay
     epsilon: Double,              // scale of the triaffine term
     topK: Int,                    // per-sentence span budget (ref: 30)
     maxSpanLen: Int)
@@ -58,23 +61,39 @@ object Weights {
     // the token features.
     val nChar = 8
     val dim = nTag + nHash + nChar    // 40
-    // 200: [prev ; self ; next ; prev-LINE last ; next-LINE first].
+    // 280: [prev ; self ; next ; POOLED prev line ; POOLED next line ;
+    //       fwd recurrence state ; bwd recurrence state].
     // Slots 3/4 are the cross-line context channel (reference K5,
-    // text_encoder.py:316-390): the last token of ltokens and the first
-    // token of rtokens enter every position's fused vector. Slots 0-2
-    // keep their offsets, so line-local rules are unaffected.
-    val hDim = 5 * dim
+    // text_encoder.py:316-390) — since round 3 the MEAN-POOLED feature
+    // vector of the ENTIRE adjacent line (the reference fuses the full
+    // ltokens/rtokens streams, not endpoints).
+    // Slots 5/6 are the whole-line sequence-fusion channel (K4,
+    // reference BiLSTM/Transformer over the token stream,
+    // text_encoder.py:112-134): fixed-decay forward / backward
+    // recurrences over the line's own token vectors,
+    // f_k = seqDecay*f_{k-1} + x_k and g_k = seqDecay*g_{k+1} + x_k —
+    // a rule can now condition on a token ARBITRARILY far away in the
+    // line (decay-bounded range ~15 tokens, like an RNN's effective
+    // memory). Slots 0-4 keep their offsets, so earlier rules survive.
+    val hDim = 7 * dim
+    // the epsilon-scale triaffine factors keep reading slots 0-4 only:
+    // the recurrence slots are consumed by the sparse rule rows, which
+    // keeps the per-token factor cost identical to round 2
+    val ctxDim = 5 * dim
     val rank = 8
     val nt = TypeDict.numTypes + 1    // + NA
+    val seqDecay = 0.95
 
     val wHead = Array.fill(nt, hDim)(0.0)
     val wTail = Array.fill(nt, hDim)(0.0)
     val bias = Array.fill(nt)(0.0)
     val wSingle = Array.fill(nt)(0.0)
     val wMulti = Array.fill(nt)(0.0)
+    val wLen = Array.fill(nt)(0.0)
 
     // slot: 0 = prev token, 1 = self, 2 = next,
-    //       3 = prev-line last token, 4 = next-line first token
+    //       3 = pooled prev line, 4 = pooled next line,
+    //       5 = fwd recurrence state, 6 = bwd recurrence state
     def at(slot: Int, tag: String): Int = slot * dim + tagIdx(tag)
     def t(name: String): Int = TypeDict.typeToId(name)
 
@@ -112,11 +131,19 @@ object Weights {
       wHead(r)(at(1, DocCap)) = 20
       wMulti(r) = -100
     }
-    // --- api_symbol: head prev KW_IMPORT, tail next PAD (line end) ---
+    // --- api_symbol: head prev KW_IMPORT, tail next PAD (line end),
+    //     AND a full 3-component path — decided by the decayed count
+    //     of '.' tokens to the RIGHT of the head through the BACKWARD
+    //     recurrence (slot 6): `import lib . mod . Sym` has two dots
+    //     (g_1[P_DOT] = d^1 + d^3 = 1.807), the SHORT `import lib .
+    //     mod` has one (0.95). Locally both tails sit at line end —
+    //     only the bwd channel separates them (the K4 backward half's
+    //     decision-bearing construct). Full: +11.2; short: -10.25. ---
     locally {
       val r = t("api_symbol")
-      bias(r) = -25
+      bias(r) = -64
       wHead(r)(at(0, KwImport)) = 15
+      wHead(r)(at(6, PDot)) = 25
       wTail(r)(at(2, PadTag)) = 15
     }
     // --- signature: i<j, head (prev KW_DEF, self IDENT),
@@ -132,17 +159,69 @@ object Weights {
       wSingle(r) = -100
     }
     // --- annotation: i==j, self IDENT, prev '@' (P_OTHER), and the
-    //     NEXT LINE starts with KW_DEF — impossible to decide
-    //     line-locally (the K5 cross-line construct: a decorator /
-    //     annotation binds to the following def). Line-local score
-    //     tops out at -5 < 0 (NA); with context it reaches +10. ---
+    //     NEXT LINE contains KW_DEF — impossible to decide line-locally
+    //     (the K5 cross-line construct: a decorator / annotation binds
+    //     to the following def). Slot 4 is the POOLED next line, so a
+    //     def keyword contributes 1/len(next line) ∈ [1/15, 1/10] on
+    //     this grammar: weight 180 puts the context term at +12..+18.
+    //     Line-local score tops out at -5 < 0 (NA); with context
+    //     +7..+13. ---
     locally {
       val r = t("annotation")
       bias(r) = -30
       wHead(r)(at(1, Ident)) = 15
       wHead(r)(at(0, POther)) = 10
-      wHead(r)(at(4, KwDef)) = 15
+      wHead(r)(at(4, KwDef)) = 180
       wMulti(r) = -100
+    }
+    // --- param_decl: the K4 DECISION-BEARING construct — span
+    //     `ident : Type` with head (self IDENT, next ':', prev '(' or
+    //     ','), tail (self TYPEISH, prev ':', next ',' or ')') AND a
+    //     KW_DEF somewhere LEFT in the same line, visible only through
+    //     the forward recurrence state (slot 5): the def keyword sits
+    //     4-7 tokens before the head, outside every window/endpoint
+    //     channel. A type-ascribed CALL argument (`probe(a: T, b: U)`)
+    //     matches the full local pattern and must NOT fire. wLen kills
+    //     the degenerate long span (head of pair 1, tail of pair 2).
+    //     Scores: valid def pair +12.9..+17.7; same pair in a call -8;
+    //     cross-pair span in a def line -14.3. ---
+    locally {
+      val r = t("param_decl")
+      bias(r) = -62
+      wHead(r)(at(1, Ident)) = 15
+      wHead(r)(at(2, PColon)) = 10
+      wHead(r)(at(0, PLParen)) = 10
+      wHead(r)(at(0, PComma)) = 10
+      wHead(r)(at(5, KwDef)) = 30   // fwd state: decayed def-keyword
+      wTail(r)(at(1, Typeish)) = 15
+      wTail(r)(at(0, PColon)) = 10
+      wTail(r)(at(2, PComma)) = 10
+      wTail(r)(at(2, PRParen)) = 10
+      wLen(r) = -8
+      wSingle(r) = -100
+    }
+    // --- documented_fn: the K5-FULL decision-bearing construct — span
+    //     `def name` (head self KW_DEF at i=0, tail self IDENT with
+    //     prev KW_DEF) whose PREVIOUS LINE is a doc comment CONTAINING
+    //     an entity (DOCCAP). The entity sits mid-line (index 2 of
+    //     6-7), so endpoint context can never see it — only the pooled
+    //     slot 3 (DOCCAP share = 1/7 scala/java, 1/6 python; weight 140
+    //     → +20..+23.3). Entity-less doc lines and annotation-
+    //     interposed defs score -5 < 0. ---
+    //     Tail discrimination sits on prev-KW_DEF (20 of the 25 tail
+    //     points) + a length penalty: a LONGER span (0, j>1) keeps the
+    //     head's big pooled bonus but loses the tail-prev points and
+    //     pays 4(j-i) — worst partial (tail = first param, python
+    //     pooling 1/6) scores -9.67. Valid +15..+18.3; entity-less -5.
+    locally {
+      val r = t("documented_fn")
+      bias(r) = -41
+      wHead(r)(at(1, KwDef)) = 15
+      wHead(r)(at(3, DocCap)) = 140  // pooled prev line: entity share
+      wTail(r)(at(1, Ident)) = 5
+      wTail(r)(at(0, KwDef)) = 20
+      wLen(r) = -4
+      wSingle(r) = -100
     }
     // NA row (index numTypes) stays all-zero: score 0 baseline.
 
@@ -150,15 +229,16 @@ object Weights {
     def gauss(n: Int, m: Int, std: Double) =
       Array.fill(n, m)(rng.nextGaussian() * std)
 
-    Weights(tagIdx, nTag, nHash, nChar, dim, hDim, rank,
-      wHead, wTail, bias, wSingle, wMulti,
-      triU = gauss(rank, hDim, 0.05),
-      triV = gauss(rank, hDim, 0.05),
+    Weights(tagIdx, nTag, nHash, nChar, dim, hDim, ctxDim, rank,
+      wHead, wTail, bias, wSingle, wMulti, wLen,
+      triU = gauss(rank, ctxDim, 0.05),
+      triV = gauss(rank, ctxDim, 0.05),
       triW = gauss(rank, dim, 0.05),
       w2 = gauss(nt, rank, 0.05),
       wBi = gauss(nt, 1, 0.05).map(_(0)),
       charEmbed = gauss(128, nChar, 0.05),
       charDecay = 0.75,
+      seqDecay = seqDecay,
       epsilon = 1e-3,
       topK = 30,
       maxSpanLen = 16)

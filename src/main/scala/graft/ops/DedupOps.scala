@@ -171,17 +171,45 @@ object DedupOps {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band on the top 16 bits (LSH bucket),
-    * verify hamming(sig1, sig2) <= maxHamming within buckets. */
+  /** Bands for the 32-bit simhash: `SimhashBands` x `SimhashBandBits`.
+    * Pigeonhole guarantee: a pair within hamming distance h differs in
+    * at most h bands, so with bands > h it SHARES at least one band —
+    * every hamming<=maxHamming pair is a candidate (completeness
+    * asserted vs an exact hamming self-join in OpsSpec). Round 2 used a
+    * single top-16-bit band, which silently missed any near-dup whose
+    * differing bits touched the top half. */
+  val SimhashBands = 4
+  val SimhashBandBits = 8
+  val SimhashMaxHamming = SimhashBands - 1
+
+  /** SimHash near-dup pairs: band-bucket candidate equi-join (each doc
+    * posts one (band, 8-bit slice) key per band), verify
+    * hamming(sig1, sig2) <= maxHamming on candidates. Complete for
+    * maxHamming <= bands-1 = 3 by the pigeonhole bound above. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
+    require(maxHamming <= SimhashMaxHamming,
+      s"maxHamming $maxHamming needs > $SimhashMaxHamming bands for the " +
+        "pigeonhole completeness guarantee")
     val sigs = simhashSignatures(docs, idCol, textCol)
-      .withColumn("band", shiftright(col("simhash"), 16))
-    sigs.as("a").join(sigs.as("b"),
-      col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
+    val bands = sigs.select(col("doc"), col("simhash"),
+      explode(array((0 until SimhashBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * SimhashBandBits)
+            .bitwiseAND((1L << SimhashBandBits) - 1).as("slice"))
+      }: _*)).as("bs"))
+      .select(col("doc"), col("simhash"),
+        col("bs.band").as("band"), col("bs.slice").as("slice"))
+    // a pair sharing several bands appears once per band — dedup BEFORE
+    // the (cheap) hamming verify so the output is a set of pairs
+    bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+        col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .as("hamming"))
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .dropDuplicates("d1", "d2")
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

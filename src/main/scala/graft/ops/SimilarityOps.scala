@@ -145,26 +145,35 @@ object SimilarityOps {
 
   /** Deterministic k-means coarse quantizer (fixed seed picks, fixed
     * iteration count). Exposed so Verify can dump the centroids and
-    * the DuckDB oracle can recompute assignment + probing. */
+    * the DuckDB oracle can recompute assignment + probing.
+    *
+    * Memory bound: training runs on an EXPLICIT deterministic sample —
+    * `pmod(xxhash64(vec_id), ceil(n / maxTrainSample)) == 0` — so the
+    * per-cell buffer (needed for id-ordered deterministic double
+    * summation; a reduceGroups would sum in fetch order) holds at most
+    * ~maxTrainSample vectors TOTAL regardless of corpus size. Round 2
+    * buffered every vector of a cell on one reducer — a dominant cell
+    * at web scale OOMs that reducer (tested with a 10^6-vector
+    * single-cluster corpus in OpsSpec). Small corpora
+    * (n <= maxTrainSample) keep sampleMod = 1, i.e. train on
+    * everything — bit-identical to round 2 there. */
   def ivfTrain(emb: DataFrame, nCells: Int = 8,
-      iters: Int = 5): Array[Array[Double]] = {
+      iters: Int = 5, maxTrainSample: Long = 100000L): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
+    val n = emb.select(count(lit(1))).head().getLong(0)
+    val sampleMod = math.max(1L, (n + maxTrainSample - 1) / maxTrainSample)
+    val vecs = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .as[(Long, Seq[Double])]
-    // deterministic init: the nCells vectors with smallest md5-ish hash
+    // deterministic init: the nCells sampled vectors with smallest hash
     var centroids: Array[Array[Double]] = vecs
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(nCells)
       .select("v").as[Seq[Double]].collect().map(_.toArray)
     (1 to iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(centroids)
-      // per-cell sums fold in vec_id order: a reduceGroups would sum
-      // doubles in shuffle-merge order, making the trained centroids
-      // (and thus cell assignment near decision boundaries) depend on
-      // fetch order — the dumped-centroid DuckDB oracle demands
-      // bit-identical training across runs. At web scale training runs
-      // on a sample, so the per-cell buffering here is bounded.
       val sums = vecs.map { case (id, v) =>
         (nearest(v.toArray, bc.value), id, v.toArray)
       }.groupByKey(_._1).mapGroups { (c, it) =>

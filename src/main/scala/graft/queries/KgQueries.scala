@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * output IS: the corpus gold is closed-form (CorpusGen generates
   * content and gold together), so [[graft.Verify]] materializes the
   * gold mentions/triples/corpus/canon tables to parquet under
-  * `outDir/_gold/` and the oracles are DuckDB `read_parquet` selects
+  * the sibling `<outDir>_gold/` dir and the oracles are DuckDB `read_parquet` selects
   * over them (`__OUTDIR__` is substituted with the absolute outDir at
   * dump time). A green row therefore proves the distributed kernel +
   * linking + canonicalization reproduce the closed-form gold exactly —
@@ -171,7 +171,7 @@ object KgQueries {
   // ----------------------------------------------------------------
 
   private def gold(t: String) =
-    s"read_parquet('__OUTDIR__/_gold/$t/*.parquet')"
+    s"read_parquet('__GOLDDIR__/$t/*.parquet')"
 
   val oracles: Map[String, String] = Map(
     // the corpus invariant is RECOMPUTED by DuckDB: sha256 over the raw

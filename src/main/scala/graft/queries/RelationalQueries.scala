@@ -38,11 +38,15 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  // J1-family: equi-join + agg (gold side broadcastable)
+  // J1-family: equi-join + agg. NO explicit broadcast hint: orders is
+  // corpus-proportional (it only LOOKS dimension-sized at test sf) —
+  // AQE broadcasts it at runtime when its actual size allows, and
+  // shuffles it at 100 TB. Explicit hints are reserved for genuine
+  // dimensions (alias dictionary, canon map) — swept in PlanSpec.
   private val evalJoin: Q = (s, d) => {
     val li = t(s, d, "lineitem")
     val o = t(s, d, "orders")
-    li.join(broadcast(o.select(col("o_orderkey"), col("o_orderpriority"))),
+    li.join(o.select(col("o_orderkey"), col("o_orderpriority")),
       col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
@@ -212,7 +216,11 @@ object RelationalQueries {
       concat_ws(" ", slice(split(col("probe"), " "), 1, 3)))
     val sh = docs.select(col("doc_id"),
       explode(graft.ops.TextOps.ngrams(col("text"), 3)).as("ng"))
-    val cands = broadcast(keyed).join(sh, col("key") === col("ng"))
+    // probe side is 5% OF THE CORPUS — corpus-proportional, so no
+    // explicit broadcast (round 2 hinted it: a 5 TB broadcast at
+    // 100 TB). The blocked match is a plain shingle equi-join; AQE
+    // broadcasts by ACTUAL size when the probe set is genuinely small.
+    val cands = keyed.join(sh, col("key") === col("ng"))
       .select(col("probe_id"), col("probe"), col("doc_id")).distinct()
     cands.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .filter(col("text").contains(col("probe")))
@@ -237,7 +245,9 @@ object RelationalQueries {
       concat_ws(" ", slice(split(col("probe"), " "), 1, 3)))
     val sh = docs.select(col("doc_id"),
       explode(graft.ops.TextOps.ngrams(col("text"), 3)).as("ng"))
-    val cands = broadcast(keyed).join(sh, col("key") === col("ng"))
+    // no broadcast hint on the corpus-proportional probe side — see
+    // containAlign
+    val cands = keyed.join(sh, col("key") === col("ng"))
       .select(col("probe_id"), col("probe"), col("doc_id")).distinct()
     val matched = cands
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))

@@ -149,7 +149,7 @@ object TrainingDataQueries {
   // (mirrors SimilarityOps.lshIndex: d > 0 sign test, 1 << plane)
   private val lshBucketCte =
     """WITH pl AS (SELECT * FROM
-      |    read_parquet('__OUTDIR__/_gold/lsh_planes/*.parquet')),
+      |    read_parquet('__GOLDDIR__/lsh_planes/*.parquet')),
       |b AS (SELECT e.vec_id, pl.tbl,
       |    CAST(sum(CASE WHEN
       |      list_inner_product(e.embedding::DOUBLE[], pl.vec) > 0
@@ -214,6 +214,14 @@ object TrainingDataQueries {
     val sig = (0 until 32).map { k =>
       s"(CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)"
     }.mkString(" + ")
+    // 4 bands x 8 bits, mirroring DedupOps.SimhashBands/SimhashBandBits
+    // (pigeonhole-complete for hamming <= 3)
+    val mask = (1L << graft.ops.DedupOps.SimhashBandBits) - 1
+    val bandRows = (0 until graft.ops.DedupOps.SimhashBands).map { b =>
+      s"SELECT doc, simhash, $b AS band, " +
+        s"(simhash >> ${b * graft.ops.DedupOps.SimhashBandBits}) & $mask " +
+        "AS slice FROM sig"
+    }.mkString("\n  UNION ALL ")
     s"""WITH tok AS (SELECT doc_id AS doc,
        |  unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
        |h AS (SELECT doc, ('0x'||substr(md5(w),1,15))::BIGINT AS h
@@ -222,11 +230,14 @@ object TrainingDataQueries {
        |  $bits
        |FROM h GROUP BY doc),
        |sig AS (SELECT doc, $sig AS simhash FROM bits),
-       |sb AS (SELECT doc, simhash, simhash >> 16 AS band FROM sig)
-       |SELECT a.doc AS d1, b.doc AS d2,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-       |FROM sb a JOIN sb b ON a.band = b.band AND a.doc < b.doc
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |sb AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2,
+       |    a.simhash AS s1, b.simhash AS s2
+       |  FROM sb a JOIN sb b ON a.band = b.band AND a.slice = b.slice
+       |    AND a.doc < b.doc)
+       |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
        |ORDER BY d1, d2""".stripMargin
   }
 
@@ -295,7 +306,7 @@ object TrainingDataQueries {
     // dumped trained centroids (_gold/ivf_centroids)
     "ann_ivf" ->
       """WITH c AS (SELECT cell, vec FROM
-        |    read_parquet('__OUTDIR__/_gold/ivf_centroids/*.parquet')),
+        |    read_parquet('__GOLDDIR__/ivf_centroids/*.parquet')),
         |d AS (SELECT e.vec_id, c.cell,
         |    list_aggregate(list_transform(generate_series(1, len(c.vec)),
         |      i -> (e.embedding[i]::DOUBLE - c.vec[i]) *

@@ -69,9 +69,17 @@ object GraphTables {
     // whole upstream pipeline a second time and hash rows that were
     // never made durable
     import spark.implicits._
-    val (n, h) = ContentHash.hex(
-      spark.read.parquet(snapDir(path, snapshotId)),
-      Seq("subj", "pred", "obj", "docId"))
+    // an EMPTY publish writes a snap dir with no pred=/bucket= subdirs
+    // and no data files — read.parquet on it fails schema inference, so
+    // probe first and commit (0, constant hash) like ResumableStage does
+    val hasData = Option(new java.io.File(snapDir(path, snapshotId))
+      .listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("pred="))
+    val (n, h) =
+      if (!hasData) (0L, "%016x".format(0L))
+      else ContentHash.hex(
+        spark.read.parquet(snapDir(path, snapshotId)),
+        Seq("subj", "pred", "obj", "docId"))
     Seq((n, h, snapshotId, System.currentTimeMillis()))
       .toDF("rowCount", "contentHash", "snapshotId", "committedAt")
       .write.mode(SaveMode.Append).parquet(s"$path/manifest")
@@ -84,10 +92,29 @@ object GraphTables {
     readSnapshot(spark, path, latestSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path")))
 
-  /** Time-travel read of one committed snapshot. */
+  /** Time-travel read of one committed snapshot. A legitimately-empty
+    * snapshot (rowCount=0 manifest row) has no data files to infer a
+    * schema from — return an explicit empty frame of the table schema
+    * instead of a schema-inference failure. */
   def readSnapshot(spark: SparkSession, path: String,
-      snapshotId: String): DataFrame =
-    spark.read.parquet(snapDir(path, snapshotId))
+      snapshotId: String): DataFrame = {
+    val dir = snapDir(path, snapshotId)
+    val hasData = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("pred="))
+    if (hasData) spark.read.parquet(dir)
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("subj", StringType), StructField("obj", StringType),
+          StructField("docId", StringType),
+          StructField("score", DoubleType),
+          StructField("pred", StringType),
+          StructField("bucket", IntegerType))))
+    }
+  }
 
   /** Out-edges of one canonical entity under one predicate — the
     * point-lookup the bucket layout exists for. `bucketCol(lit(subj))`

@@ -33,8 +33,8 @@ object StreamingPipeline {
     val bw = spark.sparkContext.broadcast(Weights.default)
     files.flatMap { f =>
       val w = bw.value
-      Tokenizer.sentences(graft.core.DocId.of(f.repo, f.path), f.content)
-        .flatMap(s => TriaffineScorer.mentions(s, w))
+      TriaffineScorer.mentionsForFile(
+        Tokenizer.sentences(graft.core.DocId.of(f.repo, f.path), f.content), w)
     }
   }
 
@@ -107,6 +107,24 @@ object StreamingPipeline {
         commitBatch(triples, batchId, outPath, manifestPath)
       }
       .start()
+  }
+
+  /** Publish the union of all COMMITTED streamed batches as one
+    * [[graft.sources.GraphTables]] snapshot — the step that turns a
+    * streamed backfill into a consumable graph table (round 2 committed
+    * per-batch parquet but never published a snapshot). Re-emitted
+    * docIds across batches (a re-ingested file) collapse by
+    * (subj, pred, obj, docId) max-score — the same dedup rule as the
+    * batch emitters. Snapshot isolation comes from GraphTables.write
+    * (own snap dir, manifest append LAST), so a crash mid-publish
+    * leaves readers on the previous snapshot. Returns
+    * (rowCount, contentHash) of the published snapshot. */
+  def publishSnapshot(spark: SparkSession, outPath: String,
+      tablePath: String, snapshotId: String): (Long, String) = {
+    val t = spark.read.parquet(outPath)
+      .groupBy(col("subj"), col("pred"), col("obj"), col("docId"))
+      .agg(max(col("score")).as("score"))
+    graft.sources.GraphTables.write(t, tablePath, snapshotId)
   }
 
   /** Streaming exact-dedup by content fingerprint — the streaming

@@ -13,8 +13,12 @@ import org.apache.spark.sql.expressions.Window
   * (token-local features like nextTok were computed at extract time):
   *  - defines_symbol / imports: projections of function / api_symbol
   *    mentions;
-  *  - has_type: positional self-join (type_ref immediately after the
-  *    `ident :` of a parameter);
+  *  - has_type: ANCHORED on param_decl mentions (the kernel's
+  *    K4-decided `ident : Type` pairs inside a def signature) — the
+  *    identifier and type_ref mentions at the anchor's endpoints
+  *    supply the canonical subject/object. A bare positional
+  *    identifier-next-to-type join (round 2) would emit has_type for
+  *    type-ASCRIBED call arguments too, which are not declarations;
   *  - calls: call-site identifiers (nextTok = `(`) joined to the
   *    nearest-PRECEDING function via window;
   *  - documented_as: nearest-FOLLOWING function via window.
@@ -46,19 +50,28 @@ object TripleEmit {
       .select($"docId".as("subj"), lit("imports").as("pred"),
         $"canonical".as("obj"), $"docId", $"linkScore".as("score"))
 
-    // has_type: identifier at (s,e) with a type_ref starting at e+1
-    // (the `:` sits between them) in the same sentence.
+    // has_type: param_decl anchor at (s, e) joined to the identifier
+    // STARTING at s and the type_ref ENDING at e, all in one sentence —
+    // the anchor carries the is-a-declaration decision, the endpoint
+    // mentions carry the canonicals. All three joins co-keyed on
+    // (docId, sentId) + a position.
+    val pds = m.filter($"entType" === "param_decl")
+      .select($"docId".as("pdoc"), $"sentId".as("psent"),
+        $"start".as("pstart"), $"end".as("pend"))
     val idents = m.filter($"entType" === "identifier")
-      .select($"docId".as("idoc"), $"sentId".as("isent"), $"end",
-        $"canonical".as("subjC"), $"linkScore".as("score"))
+      .select($"docId".as("idoc"), $"sentId".as("isent"),
+        $"start".as("istart"), $"canonical".as("subjC"),
+        $"linkScore".as("score"))
     val types = m.filter($"entType" === "type_ref")
-      .select($"docId".as("tdoc"), $"sentId".as("tsent"), $"start",
-        $"canonical".as("objC"))
-    val hasType = idents.join(types,
-      $"idoc" === $"tdoc" && $"isent" === $"tsent" &&
-        $"start" === $"end" + 1)
+      .select($"docId".as("tdoc"), $"sentId".as("tsent"),
+        $"end".as("tend"), $"canonical".as("objC"))
+    val hasType = pds
+      .join(idents, $"pdoc" === $"idoc" && $"psent" === $"isent" &&
+        $"istart" === $"pstart")
+      .join(types, $"pdoc" === $"tdoc" && $"psent" === $"tsent" &&
+        $"tend" === $"pend")
       .select($"subjC".as("subj"), lit("has_type").as("pred"),
-        $"objC".as("obj"), $"idoc".as("docId"), $"score")
+        $"objC".as("obj"), $"pdoc".as("docId"), $"score")
 
     // function mentions per doc, by line — the "definition timeline".
     // fnStart rides along as a deterministic tiebreaker: two function
@@ -154,22 +167,30 @@ object TripleEmit {
         }
         if (ans >= 0) Some(funcs(ans)) else None
       }
-      // type_ref lookup by (sentId, start) — ALL type_refs at a key, in
-      // deterministic (end, canonical) order: a plain toMap would keep
-      // one arbitrary (iterator-order) element, diverging from emit()'s
-      // relational join as soon as two type_refs share a start
-      val typeAt = ms.filter(_.entType == "type_ref")
-        .groupBy(t => t.sentId.toLong << 16 | t.start)
-        .map { case (k, ts) => k -> ts.sortBy(t => (t.end, t.canonical)) }
+      // identifier lookup by (sentId, start) and type_ref lookup by
+      // (sentId, end) — ALL mentions at a key, in deterministic
+      // (end/start, canonical) order: a plain toMap would keep one
+      // arbitrary (iterator-order) element, diverging from emit()'s
+      // relational join as soon as two share a key
+      val identAt = ms.filter(_.entType == "identifier")
+        .groupBy(i => i.sentId.toLong << 16 | i.start)
+        .map { case (k, is) => k -> is.sortBy(i => (i.end, i.canonical)) }
+      val typeEndAt = ms.filter(_.entType == "type_ref")
+        .groupBy(t => t.sentId.toLong << 16 | t.end)
+        .map { case (k, ts) => k -> ts.sortBy(t => (t.start, t.canonical)) }
       ms.foreach { m =>
         m.entType match {
           case "function" => add(docId, "defines_symbol", m.canonical, m.linkScore)
           case "api_symbol" => add(docId, "imports", m.canonical, m.linkScore)
-          case "identifier" =>
-            typeAt.get(m.sentId.toLong << 16 | (m.end + 1))
-              .foreach(_.foreach { t =>
-                add(m.canonical, "has_type", t.canonical, m.linkScore)
+          case "param_decl" =>
+            // has_type anchored on the K4-decided declaration pair:
+            // identifier at the anchor's start x type_ref at its end
+            identAt.get(m.sentId.toLong << 16 | m.start).foreach(_.foreach { i =>
+              typeEndAt.get(m.sentId.toLong << 16 | m.end).foreach(_.foreach { t =>
+                add(i.canonical, "has_type", t.canonical, i.linkScore)
               })
+            })
+          case "identifier" =>
             if (m.nextTok == "(")
               fnBefore(m.sentId).foreach(f =>
                 add(f.canonical, "calls", m.canonical, m.linkScore))

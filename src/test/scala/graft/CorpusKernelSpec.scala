@@ -31,6 +31,29 @@ class CorpusKernelSpec extends AnyFunSuite {
     assert(!t(1).pos.contains(Tags.Doc))
   }
 
+  test("doc-block markers are scanned left-to-right within a line") {
+    // inline opener mid-line opens the block for FOLLOWING lines
+    val a = Tokenizer.sentences("d", Seq(
+      "val x = 1 /** note",
+      "still doc here",
+      "*/",
+      "val y = 2").mkString("\n")).map(x => x.sentId -> x).toMap
+    assert(a(1).pos.forall(t => t == Tags.Doc || t == Tags.DocCap),
+      s"line after inline /** must be doc: ${a(1).pos}")
+    assert(!a(3).pos.contains(Tags.Doc))
+    // close-then-reopen on ONE line leaves the block OPEN (the round-2
+    // contains() state machine modeled one marker per line and closed)
+    val b = Tokenizer.sentences("d", Seq(
+      "/**",
+      "*/ gap /**",
+      "inside again",
+      "*/",
+      "val z = 3").mkString("\n")).map(x => x.sentId -> x).toMap
+    assert(b(2).pos.forall(t => t == Tags.Doc || t == Tags.DocCap),
+      s"*/ ... /** must reopen: ${b(2).pos}")
+    assert(!b(4).pos.contains(Tags.Doc))
+  }
+
   test("generator is deterministic") {
     val a = CorpusGen.file(17L)
     val b = CorpusGen.file(17L)
@@ -127,6 +150,69 @@ class CorpusKernelSpec extends AnyFunSuite {
     }
   }
 
+  private def score(line: String, w: Weights) = {
+    val (toks, tags) = Tokenizer.tokenizeLine(line)
+    TriaffineScorer.scoreSentence(toks.toIndexedSeq, tags.toIndexedSeq, w)
+      .map(sp => (sp.start, sp.endExcl, TypeDict.types(sp.typeId)))
+  }
+
+  test("param_decl REQUIRES the whole-line forward recurrence (K4)") {
+    val w = Weights.default
+    // identical LOCAL pattern `( a : T , b : U )` — every ±1 window
+    // around both pairs matches between the two lines; only the def
+    // keyword 4-7 tokens to the LEFT (outside every window/endpoint
+    // channel) separates a parameter DECLARATION from a type-ascribed
+    // call argument. The fwd recurrence state is the only channel that
+    // carries it.
+    val defLine = score("def f(a: Row, b: Plan): Txn = {", w)
+    val callLine = score("val r = probe(a: Row, b: Plan)", w)
+    assert(defLine.contains((3, 6, "param_decl")), s"def: $defLine")
+    assert(defLine.contains((7, 10, "param_decl")), s"def: $defLine")
+    assert(!callLine.exists(_._3 == "param_decl"), s"call: $callLine")
+    // and no has_type-feeding identifier x type_ref pattern leaks: the
+    // ascribed call still has its identifier/type_ref mentions
+    assert(callLine.contains((5, 6, "identifier")))
+    assert(callLine.contains((7, 8, "type_ref")))
+  }
+
+  test("api_symbol REQUIRES the backward recurrence (K4 bwd): short imports rejected") {
+    val w = Weights.default
+    // both tails sit at line end; both heads follow `import` — the
+    // only separator is the decayed dot-count RIGHT of the head (bwd)
+    val full = score("import sqlkit.Exec.Table", w)
+    val short = score("import sqlkit.Exec", w)
+    assert(full.contains((1, 6, "api_symbol")), s"full: $full")
+    assert(!short.exists(_._3 == "api_symbol"), s"short: $short")
+  }
+
+  test("documented_fn REQUIRES pooled mid-line context (K5 full)") {
+    val w = Weights.default
+    def withPrev(prev: String, line: String) = {
+      val (lt, lg) = Tokenizer.tokenizeLine(prev,
+        inDocBlock = false)
+      val (toks, tags) = Tokenizer.tokenizeLine(line)
+      TriaffineScorer.scoreSentence(toks.toIndexedSeq, tags.toIndexedSeq,
+        lt.toIndexedSeq, lg.toIndexedSeq,
+        IndexedSeq.empty, IndexedSeq.empty, w)
+        .map(sp => (sp.start, sp.endExcl, TypeDict.types(sp.typeId)))
+    }
+    // entity-carrying doc line: entity at index 2 — mid-line, invisible
+    // to any endpoint channel; the POOLED cp slot carries its DOCCAP
+    // share
+    val ent = withPrev("/** Uses Iceberg to merge rows */",
+      "def f(a: Row): Txn = {")
+    val plain = withPrev("/** uses it to merge rows */",
+      "def f(a: Row): Txn = {")
+    val annBetween = withPrev("@ deprecated", "def f(a: Row): Txn = {")
+    assert(ent.contains((0, 2, "documented_fn")), s"ent: $ent")
+    assert(!plain.exists(_._3 == "documented_fn"), s"plain: $plain")
+    assert(!annBetween.exists(_._3 == "documented_fn"), s"ann: $annBetween")
+    // endpoint tokens of the two doc variants are IDENTICAL — a
+    // last-token-only context channel (round 2) cannot separate them
+    assert(Tokenizer.tokenizeLine("/** Uses Iceberg to merge rows */")._1.last ==
+      Tokenizer.tokenizeLine("/** uses it to merge rows */")._1.last)
+  }
+
   test("annotation names collide with no alias-dictionary key") {
     val aliases = Vocab.aliasRows.map(_._1).toSet
     Vocab.annots.foreach(a => assert(!aliases.contains(a), a))
@@ -134,17 +220,21 @@ class CorpusKernelSpec extends AnyFunSuite {
 
   test("context channel leaves line-local mentions unchanged") {
     val w = Weights.default
+    // annotation and documented_fn are the two DELIBERATELY context-
+    // dependent types; every other decision must be identical with and
+    // without the cross-line channel
+    val ctxTypes = Set("annotation", "documented_fn")
     (0 until 40).foreach { id =>
       val g = CorpusGen.file(id.toLong)
       val docId = s"${g.source.repo}/${g.source.path}"
       Tokenizer.sentences(docId, g.source.content).foreach { s =>
         val withCtx = TriaffineScorer.mentions(s, w)
-          .filter(_.entType != "annotation")
+          .filter(m => !ctxTypes(m.entType))
           .map(m => (m.start, m.end, m.entType)).toSet
         val noCtx = TriaffineScorer.scoreSentence(
           s.tokens.toIndexedSeq, s.pos.toIndexedSeq, w)
           .map(sp => (sp.start, sp.endExcl, TypeDict.types(sp.typeId)))
-          .filter(_._3 != "annotation").toSet
+          .filterNot(t => ctxTypes(t._3)).toSet
         assert(withCtx == noCtx, s"file=$id sent=${s.sentId}")
       }
     }

@@ -73,6 +73,23 @@ class GraphSinkSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
+  test("publishing an EMPTY triple set commits rowCount=0 and stays readable") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graphempty").toString
+    val none = Seq.empty[(String, String, String, String, Double)]
+      .toDF("subj", "pred", "obj", "docId", "score")
+    // round-2 crash mode: 0-row partitioned write -> no data files ->
+    // read-back schema inference failed inside write()
+    val (n, h) = GraphTables.write(none, tmp, "snap-empty")
+    assert(n == 0L && h.nonEmpty)
+    assert(GraphTables.latestSnapshot(spark, tmp).contains("snap-empty"))
+    assert(GraphTables.read(spark, tmp).count() == 0)
+    // a later non-empty publish proceeds normally on the same table
+    val st = Pipeline.run(spark, 20)
+    val (n2, _) = GraphTables.write(st.triples, tmp, "snap-1")
+    assert(n2 > 0 && GraphTables.read(spark, tmp).count() == n2)
+  }
+
   test("entity point-lookup prunes to a single pred+bucket partition") {
     val tmp = Files.createTempDirectory("graphlk").toString
     val st = Pipeline.run(spark, 100)

@@ -77,6 +77,53 @@ class OpsSpec extends SparkSpec {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("simhash banding is COMPLETE for hamming<=3 (pigeonhole: 4 bands x 8 bits)") {
+    import spark.implicits._
+    // planted corpus: pairs of docs differing in few tokens, spread so
+    // differing simhash bits land in BOTH halves of the signature —
+    // round 2's single top-16-bit band missed any pair whose
+    // differing bits touched the top half
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = (0 until 40).flatMap { i =>
+      Seq((i * 10L, s"$base uniq$i"), (i * 10L + 1, s"$base uniq$i var$i"))
+    }.toDF("doc_id", "text")
+    // exact hamming<=3 self-join over signatures (ground truth)
+    val sigs = DedupOps.simhashSignatures(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    val banded = DedupOps.simhashPairs(d, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain hamming<=3 pairs")
+    assert(banded == exact,
+      s"banding must be candidate-complete for h<=3: missed " +
+        s"${(exact -- banded).take(5)}, extra ${(banded -- exact).take(5)}")
+  }
+
+  test("ivfTrain bounds its per-cell buffer via the deterministic sample") {
+    import spark.implicits._
+    // one dominant cluster: 1M near-identical vectors — round 2's
+    // trainer buffered the WHOLE cell on one reducer; the sampled
+    // trainer holds <= maxTrainSample vectors total
+    val big = spark.range(1000000L).select(col("id").as("vec_id"),
+      array(col("id").cast("double") % 7 / 1000.0,
+        lit(1.0), lit(2.0)).as("embedding"))
+    val c1 = SimilarityOps.ivfTrain(big, nCells = 4, iters = 2,
+      maxTrainSample = 1000L)
+    val c2 = SimilarityOps.ivfTrain(big, nCells = 4, iters = 2,
+      maxTrainSample = 1000L)
+    assert(c1.length == 4 && c1.forall(_.length == 3))
+    // deterministic across invocations (id-ordered sample summation)
+    c1.zip(c2).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // small corpora (n <= maxTrainSample) train on everything —
+    // bit-identical to the unsampled round-2 path for the sf oracles
+    val small = SimilarityOps.ivfTrain(emb, nCells = 8, iters = 5)
+    val smallAgain = SimilarityOps.ivfTrain(emb, nCells = 8, iters = 5)
+    small.zip(smallAgain).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
   test("LSH ANN recall@5 >= 0.3 vs brute force, and is a valid top-k") {
     val bf = SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

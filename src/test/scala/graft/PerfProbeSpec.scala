@@ -19,5 +19,16 @@ class PerfProbeSpec extends AnyFunSuite {
       graft.extract.Tokenizer.sentences(f.repo + "/" + f.path, f.content)
     }
     println(f"PROBE gen+tok files/sec=${10000 / ((System.nanoTime()-t2)/1e9)}%.0f")
+    // per-file fast path (the hot production entry — shared pools)
+    val w = graft.kernel.Weights.default
+    val t3 = System.nanoTime()
+    var nm = 0
+    (32000 until 42000).foreach { i =>
+      val f = graft.core.CorpusGen.file(i.toLong).source
+      nm += graft.kernel.TriaffineScorer.mentionsForFile(
+        graft.extract.Tokenizer.sentences(f.repo + "/" + f.path, f.content),
+        w).size
+    }
+    println(f"PROBE fastpath files/sec=${10000 / ((System.nanoTime()-t3)/1e9)}%.0f mentions=$nm")
   }
 }

@@ -85,6 +85,12 @@ class PipelineSpec extends SparkSpec {
       .collect().map(m => (m.docId, m.sentId, m.start, m.end, m.entType,
         m.score, m.surface, m.nextTok)).toSet
     assert(cached == direct && direct.nonEmpty)
+    // warm RE-SCORE path: cache scan alone (no sentence table, no
+    // join) must also be bit-identical to the direct kernel
+    val warm = EncodingCache.mentionsFromCache(spark, tmp)
+      .collect().map(m => (m.docId, m.sentId, m.start, m.end, m.entType,
+        m.score, m.surface, m.nextTok)).toSet
+    assert(warm == direct)
     // a STALE cache (sentences not present in it) must fail fast, not
     // silently drop the uncached sentences
     val more = Extract.sentences(Extract.corpus(spark, 50))

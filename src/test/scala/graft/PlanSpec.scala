@@ -24,9 +24,69 @@ class PlanSpec extends SparkSpec {
       s"scan not pruned to 2 columns:\n$p")
   }
 
-  test("dimension joins are broadcast, not shuffled") {
+  test("small-side joins broadcast BY SIZE (no hint), not shuffled") {
+    // eval_join carries no explicit hint anymore (orders is
+    // corpus-proportional); at this sf the optimizer still picks a
+    // broadcast join from the actual scan size — the AQE-era behavior
+    // the un-hinted plan relies on
     val p = plan(graft.queries.RelationalQueries.all("eval_join")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("no broadcast hint over a corpus-proportional input survives in SparkEntry plans") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // The ONLY file-scan inputs allowed under an explicit broadcast
+    // hint are bounded probe sets: the ANN query sides (vec_id < 10 —
+    // fixed cardinality) and embed_pairs' declared sample side (the
+    // non-equi pair join REQUIRES a broadcast-nested-loop build side;
+    // its size is the caller's contract). Everything else hinted must
+    // be a genuine in-memory dimension (alias dict, static canon map).
+    val allowed = Set("ann_topk", "ann_lsh", "ann_ivf", "embed_pairs")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!allowed(name)) {
+        val df = fn(spark, dir)
+        val offenders = df.queryExecution.analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.nonEmpty &&
+              h.child.collectFirst {
+                case r: LogicalRelation => r
+              }.nonEmpty => h
+        }
+        assert(offenders.isEmpty,
+          s"$name hints a join strategy over a file-scan input:\n" +
+            offenders.mkString("\n"))
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
+  test("dynamic canon join is hint-free and flips to shuffle when the map is big") {
+    import spark.implicits._
+    val linked = Seq(("d1", "parseTree"), ("d2", "buildPlan"))
+      .toDF("docId", "entity")
+    val canonMap = Seq(("parseTree", "parseTree"), ("buildPlan", "buildPlan"))
+      .toDF("entity", "canonical")
+    // mined-map path: NO hint anywhere in the plan — strategy is AQE's
+    val dyn = Pipeline.canonicalize(linked, canonMap, hintBroadcast = false)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    assert(dyn.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h }.isEmpty,
+      "dynamic canonicalize must not carry a broadcast hint")
+    // with auto-broadcast off (simulating a mined map too big to
+    // broadcast) the join strategy flips to a shuffle join; the
+    // dictionary path's explicit hint still forces a broadcast
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pDyn = Pipeline.canonicalize(linked, canonMap,
+        hintBroadcast = false).queryExecution.executedPlan.toString
+      assert(!pDyn.contains("BroadcastHashJoin"),
+        s"big mined map must shuffle, not broadcast:\n$pDyn")
+      val pStatic = Pipeline.canonicalize(linked, canonMap,
+        hintBroadcast = true).queryExecution.executedPlan.toString
+      assert(pStatic.contains("BroadcastHashJoin"),
+        s"dictionary map keeps its broadcast:\n$pStatic")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
   test("linking is a single broadcast join - no mention shuffle") {

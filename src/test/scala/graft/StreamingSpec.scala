@@ -83,6 +83,18 @@ class StreamingSpec extends SparkSpec {
     assert(m.count() >= 2)
     assert(m.agg(org.apache.spark.sql.functions.sum("rowCount"))
       .head().getLong(0) == spark.read.parquet(out).count())
+    // publish the streamed backfill as a graph-table snapshot: the
+    // LATEST COMMITTED snapshot must read back equal to the batch
+    // pipeline's triple set (round 2 committed batches but never
+    // published a consumable snapshot)
+    val table = s"$tmp/graph"
+    val (nPub, _) = StreamingPipeline.publishSnapshot(spark, out, table,
+      "snap-000")
+    val published = graft.sources.GraphTables.read(spark, table)
+      .select("subj", "pred", "obj", "docId")
+      .collect().map(_.toSeq).toSet
+    assert(published == batch)
+    assert(nPub == published.size.toLong)
   }
 
   test("a retried micro-batch commit is idempotent (no duplicate triples)") {
