@@ -39,6 +39,15 @@ object Bench {
       .appName(app)
       .config("spark.sql.shuffle.partitions", cores * 2)
       .config("spark.sql.adaptive.enabled", "true")
+      // split parquet scans finer than the 128m default: the corpus
+      // and encoding-cache tables are a few hundred MB here, and the
+      // default packs them into ~6 splits — every NARROW stage
+      // downstream of a scan (kernel, cache re-score) then runs
+      // 6-wide on a 32-core box. 16m keeps scan-rooted stages at
+      // full parallelism at this data size; on a real cluster the
+      // same knob is sized to executor memory (see README scale
+      // notes).
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -132,12 +141,27 @@ object Bench {
     // DYNAMIC-canon variant: the canonical map is mined from the corpus
     // (AliasMining + CC) inside the timed run, so canonicalization is
     // measured as a data-scale stage, not a prebuilt dimension.
+    // clearCache + gc between trials: each run leaves localCheckpoint
+    // blocks (mined edges, canon map, triples) that are only released
+    // when their RDDs are garbage-collected — without the nudge,
+    // storage accumulates across trials and later trials degrade into
+    // eviction/spill churn (observed 20s -> 80s by trial 3).
+    def pipeTrial(): (Long, Double) = {
+      spark.catalog.clearCache()
+      System.gc()
+      time(Pipeline.runFromTableDynamic(spark, corpusPath).triples.count())
+    }
     Pipeline.runFromTableDynamic(spark, corpusPath).triples.count() // warm
-    val runs = (1 to trials).map(_ =>
-      time(Pipeline.runFromTableDynamic(spark, corpusPath).triples.count()))
+    val runs = (1 to trials).map(_ => pipeTrial())
     val nTriples = runs.head._1
     val tPipe = runs.map(_._2).min
     val tpsCpus = nTriples / tPipe
+    // static-canon reference (the r1/r2-comparable number): same
+    // pipeline with the prebuilt dictionary canon map
+    val tStatic = (1 to trials).map { _ =>
+      spark.catalog.clearCache(); System.gc()
+      time(Pipeline.runFromTable(spark, corpusPath).triples.count())._2
+    }.min
 
     // 2b: frozen-encoder cache re-run (S3): a quarter-scale slice is
     // encoded ONCE into the cache (untimed data prep); the warm run
@@ -217,6 +241,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
         s""""sf":"$sfDir","triples_per_sec":$tpsCpus,""" +
         s""""pipeline":{"files":$scaleFiles,"triples":$nTriples,"sec":$tPipe},""" +
+        s""""pipeline_static":{"sec":$tStatic,""" +
+        s""""triples_per_sec":${nTriples / tStatic}},""" +
         s""""pipeline_cached":{"triples":$cachedTriples,""" +
         s""""cold_sec":$coldSec,"warm_sec":$warmSec,""" +
         s""""cold_tps":${cachedTriples / coldSec},""" +

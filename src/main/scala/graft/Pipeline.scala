@@ -83,20 +83,32 @@ object Pipeline {
     ConnectedComponents.canonicalMap(Linker.aliasDf(spark),
       Some(graft.canon.AliasMining.mentionAliasEdges(linked)))
 
+  /** A mined canon map up to this many rows gets an explicit broadcast
+    * hint (the SIZE-GATE): a few million (entity, canonical) string
+    * pairs is comfortably under executor broadcast budgets, and the
+    * hint saves AQE's full shuffle materialization of the mention
+    * table (AQE converts SMJ->BHJ only after the probe side's shuffle
+    * files are written). Above the gate the hint is dropped and AQE
+    * decides from runtime sizes. */
+  val BroadcastCanonMaxRows = 4000000L
+
   /** Dynamic-canon stage chain over an arbitrary file slice: the
     * canonical map is mined from the corpus itself (AliasMining + CC),
     * making canonicalization a data-scale stage. The linked mention
     * table is persisted because it feeds both the alias mining
     * aggregation and the canon join (at cluster scale this is the
-    * stage boundary you would materialize anyway). */
+    * stage boundary you would materialize anyway). The mined map is
+    * materialized once (localCheckpoint) — it is read by the size
+    * gate's count AND the canon join. */
   def dynamicStagesFor(files: Dataset[SourceFileHashed]): Stages = {
     val spark = files.sparkSession
     import spark.implicits._
     val ments = Extract.mentionsFused(files)
     val linked = Linker.link(ments).toDF().persist()
     try {
-      val canon = canonicalize(linked, dynamicCanonMap(spark, linked),
-        hintBroadcast = false)
+      val canonMap = dynamicCanonMap(spark, linked).localCheckpoint()
+      val canon = canonicalize(linked, canonMap,
+        hintBroadcast = canonMap.count() <= BroadcastCanonMaxRows)
       val triples =
         TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
           .localCheckpoint()

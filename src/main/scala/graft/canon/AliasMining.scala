@@ -34,28 +34,19 @@ object AliasMining {
     * — rows stay NARROW and the window buffer spills to disk on a hot
     * key, where a collect_set of a hot key's entities would buffer
     * millions of entities in ONE in-memory array on one reducer. */
-  def mentionAliasEdges(linked: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val out = linked.filter(col("entType") === "identifier")
+  def mentionAliasEdges(linked: DataFrame): DataFrame =
+    linked.filter(col("entType") === "identifier")
       .select(normKey(col("surface")).as("k"), col("entity"))
       .distinct()
-      .withColumn("src", min(col("entity")).over(Window.partitionBy(col("k"))))
+      .withColumn("src",
+        min(col("entity")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
       .filter(col("src") =!= col("entity"))
       .select(col("src"), col("entity").as("dst"))
       // materialize: the edge table is vocabulary-sized and re-read
-      // every CC round
+      // every CC round. (Nullability normalization happens at the
+      // union site in ConnectedComponents.canonicalMap — both children
+      // get the same provably-non-null shape there; the round-2 RDD
+      // round-trip that re-serialized this table is gone.)
       .localCheckpoint()
-    // Re-declare the true non-null schema: `src`/`dst` are entity ids
-    // and provably non-null, but the window-min alias marks them
-    // nullable — and a nullable column unioned with the dictionary
-    // star's non-null `dst` widens the union's nullability, which flips
-    // downstream constraint shapes inside the CC loop and trips a
-    // Catalyst bug (UnionBase.rewriteConstraints key-not-found). The
-    // RDD round-trip applies the schema and reuses the checkpointed
-    // blocks.
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    out.sparkSession.createDataFrame(out.rdd, StructType(Seq(
-      StructField("src", StringType, nullable = false),
-      StructField("dst", StringType, nullable = false))))
-  }
 }

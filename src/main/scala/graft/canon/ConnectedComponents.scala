@@ -35,8 +35,26 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** (labels, rounds): component label per node of `edges`, and the
-    * number of large+small-star rounds until fixpoint. */
+    * number of large+small-star rounds until fixpoint.
+    *
+    * AQE is suspended for the duration of the loop: adaptive execution
+    * materializes every shuffle as its own query stage and replans
+    * between them — the right trade for big frames, pure added barrier
+    * latency for this loop's (post-first-round) tiny star edge sets,
+    * which sit on the SERIAL critical path of the dynamic-canon
+    * pipeline. Static planning pipelines each round's shuffles
+    * normally. Restored in a finally. */
   def runWithStats(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      runWithStatsInner(edges, maxIter)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def runWithStatsInner(edges: DataFrame,
+      maxIter: Int): (DataFrame, Int) = {
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
@@ -62,19 +80,26 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // large-star: (v, m) for v in N(u), v > u; m = min(N(u) ∪ {u})
+      // large-star: (v, m) for v in N(u), v > u; m = min(N(u) ∪ {u}).
+      // NO intermediate distincts: min-aggregates are duplicate-
+      // insensitive and the round's single distinct (on the small-star
+      // output, needed for the set-valued fixpoint probe) dedups the
+      // final edge set — round 2 ran THREE distincts per round, i.e.
+      // two extra shuffle barriers of pure latency on the critical
+      // path (the CC loop is the serial section of the dynamic-canon
+      // pipeline, so its per-round barrier count is what Amdahl sees).
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = sym.groupBy("src")
         .agg(least(min(col("dst")), first(col("src"))).as("m"))
       val large = sym.join(mins, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
       // small-star on large->small orientation: (v, m) for v in
       // N(u) ∪ {u}; m = min(N(u))
       val or = large.select(
         greatest(col("src"), col("dst")).as("src"),
-        least(col("src"), col("dst")).as("dst")).distinct()
+        least(col("src"), col("dst")).as("dst"))
       val mins2 = or.groupBy("src").agg(min(col("dst")).as("m"))
       val small = or.join(mins2, "src")
         .select(col("dst").as("v"), col("m"))
@@ -118,8 +143,19 @@ object ConnectedComponents {
       .agg(min(col("entity")).as("src"), collect_set(col("entity")).as("all"))
       .select(col("src"), explode(col("all")).as("dst"))
       .filter(col("src") =!= col("dst"))
+    // BOTH union children get a uniform provably-non-null shape
+    // (values are never null; coalesce flips only the nullability
+    // flag): children with MISMATCHED nullability trip a Catalyst 4.1
+    // constraint-rewrite bug inside the CC loop
+    // (UnionBase.rewriteConstraints "key not found") — round 2 worked
+    // around it with an RDD round-trip re-declaring the mined edges'
+    // schema, which re-serialized the whole edge table; the coalesce is
+    // free.
+    def nn(df: DataFrame): DataFrame = df.select(
+      coalesce(col("src"), lit("")).as("src"),
+      coalesce(col("dst"), lit("")).as("dst"))
     val edges = extraEdges match {
-      case Some(x) => star.union(x.select(col("src"), col("dst")))
+      case Some(x) => nn(star).union(nn(x.select(col("src"), col("dst"))))
       case None => star
     }
     val singles = (extraEdges match {

@@ -27,22 +27,46 @@ object EncodingCache {
   // frozen encoder — the reference's re-run-with-cached-BERT workflow)
   // can decode surfaces/nextTok from the cache ALONE, never touching
   // the source table ([[mentionsFromCache]]).
+  // enc is the flat double payload PACKED as one little-endian binary
+  // blob: decoding a parquet double-array re-assembles the array
+  // element-by-element through the column reader, while a binary blob
+  // is one bulk copy — measurably cheaper on the warm path, and still
+  // bit-exact.
   final case class EncRow(docId: String, sentId: Int, dim: Int,
-      enc: Array[Double], tokens: Seq[String])
+      enc: Array[Byte], tokens: Seq[String])
 
-  /** Materialize encoder outputs, keyed by (docId, sentId). */
+  private[extract] def pack(xs: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(xs.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asDoubleBuffer().put(xs)
+    bb.array()
+  }
+
+  private[extract] def unpack(bs: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bs.length / 8)
+    java.nio.ByteBuffer.wrap(bs)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asDoubleBuffer().get(out)
+    out
+  }
+
+  /** Materialize encoder outputs, keyed by (docId, sentId). The
+    * sentence stream is repartitioned first so the encode AND the
+    * written file count use the session's full parallelism (a cache
+    * written as a handful of fat files caps every later warm scan). */
   def write(sents: Dataset[Sentence], path: String): Unit = {
     val spark = sents.sparkSession
     import spark.implicits._
     val bw = spark.sparkContext.broadcast(Weights.default)
-    sents.mapPartitions { it =>
+    sents.repartition(spark.sessionState.conf.numShufflePartitions)
+      .mapPartitions { it =>
       val w = bw.value
       it.map { s =>
         EncRow(s.docId, s.sentId, w.dim,
-          TriaffineScorer.encodeSentence(
+          pack(TriaffineScorer.encodeSentence(
             s.tokens.toIndexedSeq, s.pos.toIndexedSeq,
             s.ltokens.toIndexedSeq, s.lpos.toIndexedSeq,
-            s.rtokens.toIndexedSeq, s.rpos.toIndexedSeq, w),
+            s.rtokens.toIndexedSeq, s.rpos.toIndexedSeq, w)),
           s.tokens)
       }
     }.write.mode("overwrite").parquet(path)
@@ -64,7 +88,8 @@ object EncodingCache {
           s"encoding cache at $path was written under dim ${e.dim}, " +
             s"reader Weights has dim ${w.dim} — rewrite the cache")
         TriaffineScorer.toMentions(e.docId, e.sentId,
-          e.tokens.toIndexedSeq, TriaffineScorer.scoreEncoded(e.enc, w))
+          e.tokens.toIndexedSeq,
+          TriaffineScorer.scoreEncoded(unpack(e.enc), w))
       }
     }
   }
@@ -102,7 +127,7 @@ object EncodingCache {
               s"reader Weights has dim ${w.dim} — rewrite the cache")
           TriaffineScorer.toMentions(s.docId, s.sentId,
             s.tokens.toIndexedSeq,
-            TriaffineScorer.scoreEncoded(e.enc, w))
+            TriaffineScorer.scoreEncoded(unpack(e.enc), w))
         }
       }
   }
