@@ -157,8 +157,9 @@ object Bench {
     val tPipe = runs.map(_._2).min
     val tpsCpus = nTriples / tPipe
     // static-canon reference (the r1/r2-comparable number): same
-    // pipeline with the prebuilt dictionary canon map
-    val tStatic = (1 to trials).map { _ =>
+    // pipeline with the prebuilt dictionary canon map. Half the trial
+    // budget — it is a reference row, not the headline number.
+    val tStatic = (1 to math.max(1, trials / 2)).map { _ =>
       spark.catalog.clearCache(); System.gc()
       time(Pipeline.runFromTable(spark, corpusPath).triples.count())._2
     }.min

@@ -100,20 +100,25 @@ object Pipeline {
     * stage boundary you would materialize anyway). The mined map is
     * materialized once (localCheckpoint) — it is read by the size
     * gate's count AND the canon join. */
+  /** Caching contract (same as DedupOps): the linked mention table is
+    * persisted (it feeds alias mining AND the canon+emit chain) and
+    * returned LAZY inside the Stages plans — the CALLER owns cleanup
+    * (`spark.catalog.clearCache()` between unrelated jobs, as Bench
+    * and Verify do). Round 2 instead localCheckpoint-ed the triples
+    * and unpersisted eagerly — one extra full materialization pass of
+    * the triple set per run, paid even by callers that consume the
+    * plan exactly once. */
   def dynamicStagesFor(files: Dataset[SourceFileHashed]): Stages = {
     val spark = files.sparkSession
     import spark.implicits._
     val ments = Extract.mentionsFused(files)
     val linked = Linker.link(ments).toDF().persist()
-    try {
-      val canonMap = dynamicCanonMap(spark, linked).localCheckpoint()
-      val canon = canonicalize(linked, canonMap,
-        hintBroadcast = canonMap.count() <= BroadcastCanonMaxRows)
-      val triples =
-        TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
-          .localCheckpoint()
-      Stages(files, ments, canon, triples)
-    } finally linked.unpersist()
+    val canonMap = dynamicCanonMap(spark, linked).localCheckpoint()
+    val canon = canonicalize(linked, canonMap,
+      hintBroadcast = canonMap.count() <= BroadcastCanonMaxRows)
+    val triples =
+      TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
+    Stages(files, ments, canon, triples)
   }
 
   /** Like [[run]] but with the mention-derived dynamic canonical map. */

@@ -53,8 +53,23 @@ object ConnectedComponents {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  /** Graphs at or below this edge count are solved ON THE DRIVER
+    * (collect + union-find) instead of iterating distributed star
+    * rounds: each round costs ~6 sequential stage barriers of pure
+    * scheduler latency, which sits on the SERIAL critical path of the
+    * dynamic-canon pipeline — a few hundred thousand collected edges
+    * are cheaper than ONE round's barriers. Same size-adaptive
+    * philosophy as the canon-map broadcast gate: solve tiny graphs
+    * where they live, keep the O(log n) distributed loop for graphs
+    * that need a cluster (the 10^6-edge chain test sits ABOVE the gate
+    * and exercises the distributed path). Both paths produce the
+    * identical component = min-member labeling (asserted in
+    * CanonSpec). */
+  val DriverSolveMaxEdges = 500000L
+
   private def runWithStatsInner(edges: DataFrame,
       maxIter: Int): (DataFrame, Int) = {
+    val spark = edges.sparkSession
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
@@ -77,6 +92,41 @@ object ConnectedComponents {
     }
 
     var prev = checksum(e)
+    // size gate: the checksum already counted the (deduped, loop-free)
+    // edge set — solve small graphs driver-side in one collect
+    if (prev._1 <= DriverSolveMaxEdges) {
+      import spark.implicits._
+      val es = e.select(col("src"), col("dst")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      // union-find with path compression; result (the component
+      // PARTITION) is independent of the collected edge order, and the
+      // final label = lexicographic min member — the same labeling the
+      // star rounds converge to
+      val parent = scala.collection.mutable.HashMap[String, String]()
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // min member per component (roots chosen min-ward above, but a
+      // late union can re-root: recompute the min explicitly)
+      val members = parent.keys.toSeq
+      val minOf = scala.collection.mutable.HashMap[String, String]()
+      members.foreach { m =>
+        val r = find(m)
+        val cur = minOf.getOrElse(r, m)
+        minOf(r) = if (m < cur) m else cur
+      }
+      val comp = members.map(m => (m, minOf(find(m))))
+        .toDF("node", "comp")
+      val labels = nodes.join(comp, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("comp"), col("node")).as("component"))
+      return (labels, 0)
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

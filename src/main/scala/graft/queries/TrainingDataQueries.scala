@@ -91,6 +91,28 @@ object TrainingDataQueries {
     SimilarityOps.topPairs(emb(s, d), sampleMod = 10, topN = 20)
       .orderBy(col("rank"))
 
+  // F13, the rand(seed) form (reference span_utils.py:35-39): SEEDED
+  // STRATIFIED Bernoulli sampling as a pure narrow filter. The uniform
+  // is hash-derived — u = md5h60(doc_id # seed) % 1e6 — which is what a
+  // reproducible distributed sampler actually wants: Spark's
+  // rand(seed) is seeded PER PARTITION, so a repartition or a changed
+  // split count silently changes which rows are kept; the hash uniform
+  // is a pure function of the ROW, stable under any partitioning (and
+  // portable, so DuckDB replicates it exactly). Rates are stratified
+  // per lang: en keeps 10%, everything else 5%.
+  private val SampleSeed = 42
+  private val sampleSeeded: Q = (s, d) => {
+    val u = pmod(TextOps.md5h60(
+      concat(col("doc_id").cast("string"), lit(s"#$SampleSeed"))),
+      lit(1000000L))
+    docs(s, d)
+      .withColumn("u_ppm", u.cast("int"))
+      .filter(col("u_ppm") <
+        when(col("lang") === "en", lit(100000)).otherwise(lit(50000)))
+      .select(col("doc_id"), col("lang"), col("u_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   // Output restricted to integer-exact columns so the DuckDB oracle
   // reproduces them from the raw text (the payload is its utf-8 bytes);
   // checksum + float features stay ScalaTest-covered (OpsSpec).
@@ -115,6 +137,7 @@ object TrainingDataQueries {
     "ann_ivf" -> annIvf,
     "dedup_cosine" -> dedupCosine,
     "embed_pairs" -> embedPairs,
+    "sample_seeded" -> sampleSeeded,
     "mm_features" -> mmFeatures)
 
   // ----------------------------------------------------------------
@@ -399,6 +422,14 @@ object TrainingDataQueries {
         |WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
         |                             e2.embedding::DOUBLE[]) >= 0.3
         |ORDER BY d1, d2""".stripMargin),
+    "sample_seeded" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#$SampleSeed'),1,15))::BIGINT
+         |       % 1000000 AS INT) AS u_ppm
+         |FROM documents
+         |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#$SampleSeed'),1,15))::BIGINT
+         |      % 1000000 < CASE WHEN lang = 'en' THEN 100000 ELSE 50000 END
+         |ORDER BY doc_id""".stripMargin,
     "embed_pairs" ->
       """SELECT CAST(rank AS INT) AS rank, id1, id2 FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,

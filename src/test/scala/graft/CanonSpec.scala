@@ -23,6 +23,21 @@ class CanonSpec extends SparkSpec {
     assert(labels.count() == n)
   }
 
+  test("small graphs take the driver-solve gate; labels match the star family") {
+    import spark.implicits._
+    // a 2k-edge chain sits far below DriverSolveMaxEdges -> driver
+    // union-find (rounds == 0), same min-member labeling the star
+    // rounds produce on the 10^6 chain above
+    val n = 2000
+    val edges = spark.range(n - 1)
+      .select(format_string("n%07d", col("id")).as("src"),
+        format_string("n%07d", col("id") + 1).as("dst"))
+    val (labels, rounds) = ConnectedComponents.runWithStats(edges)
+    assert(rounds == 0, s"expected the driver gate, got $rounds rounds")
+    assert(labels.filter(col("component") =!= lit("n0000000")).count() == 0)
+    assert(labels.count() == n)
+  }
+
   test("star CC equals min-label result on the alias dictionary") {
     val got = ConnectedComponents.canonicalMap(graft.link.Linker.aliasDf(spark))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
