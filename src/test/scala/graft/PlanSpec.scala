@@ -128,6 +128,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("warm cache re-score is shuffle-free (one narrow scan to mentions)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("enc-plan").toString
+    val sents = graft.extract.Extract.sentences(
+      graft.extract.Extract.corpus(spark, 20))
+    graft.extract.EncodingCache.write(sents, tmp)
+    val warm = graft.extract.EncodingCache.mentionsFromCache(spark, tmp)
+    val p = plan(warm.toDF())
+    assert(!p.contains("Exchange"),
+      s"warm cache path must not shuffle before the consumer:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the relational operators") {
     val df = graft.queries.RelationalQueries.all("q1_agg")(spark, dir)
     df.collect() // let AQE finalize the plan
