@@ -41,7 +41,33 @@ final case class Weights(
     epsilon: Double,              // scale of the triaffine term
     topK: Int,                    // per-sentence span budget (ref: 30)
     maxSpanLen: Int)
-  extends Serializable
+  extends Serializable {
+
+  /** Run-config fingerprint (F9): a stable hex digest over EVERY value
+    * that determines the kernel's output — the analog of hashing the
+    * reference's checkpoint + hyperparameters. Resumable stages record
+    * it per bucket, so a restart under different weights (a retrained
+    * model, a rule change) fails fast instead of splicing
+    * incompatible buckets into one snapshot. */
+  lazy val fingerprint: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    def d(x: Double): Unit = {
+      bb.clear(); bb.putDouble(x); md.update(bb.array(), 0, 8)
+    }
+    def arr(a: Array[Double]): Unit = a.foreach(d)
+    def mat(m: Array[Array[Double]]): Unit = m.foreach(arr)
+    tagIdx.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      md.update(k.getBytes("UTF-8")); d(v.toDouble)
+    }
+    Seq(nTagDims, nHashDims, nCharDims, dim, hDim, ctxDim, rank, topK,
+      maxSpanLen).foreach(i => d(i.toDouble))
+    mat(wHead); mat(wTail); arr(bias); arr(wSingle); arr(wMulti)
+    arr(wLen); mat(triU); mat(triV); mat(triW); mat(w2); arr(wBi)
+    mat(charEmbed); d(charDecay); d(seqDecay); d(epsilon)
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+}
 
 object Weights {
 

@@ -57,15 +57,23 @@ object ResumableStage {
     * lets the caller push the bucket predicate below expensive stages
     * (e.g. filter the INPUT FILES by bucket before the extraction
     * kernel runs, so a restart never re-extracts committed buckets). */
+  /** Like [[run]], with a run-config fingerprint (F9): `config` is a
+    * caller-supplied digest of everything that determines the stage's
+    * output (for the KG pipeline: the weight bundle's fingerprint).
+    * Recorded in every bucket's metricsJson; a RESUME under a
+    * different fingerprint fails fast — splicing buckets computed
+    * under different weights into one snapshot would be silently
+    * inconsistent output, exactly like a bucket-count mismatch. */
   def runWith(spark: SparkSession, stage: String, snapshotId: String,
-      nBuckets: Int, outPath: String, manifestPath: String)(
+      nBuckets: Int, outPath: String, manifestPath: String,
+      config: String = "")(
       compute: Seq[Int] => DataFrame): Int = {
     import spark.implicits._
+    val metricsJson = s"""{"buckets":$nBuckets,"config":"$config"}"""
     val done = committed(spark, manifestPath, stage, snapshotId)
-    // resuming with a DIFFERENT bucket count than this (stage,
-    // snapshotId) was started with would recompute a disjoint bucket
-    // numbering over the same rows — committed data would be read
-    // alongside re-bucketed duplicates. Fail fast instead.
+    // resuming with a DIFFERENT bucket count or run config than this
+    // (stage, snapshotId) was started with would splice incompatible
+    // buckets into one snapshot. Fail fast instead.
     val manP = new org.apache.hadoop.fs.Path(manifestPath)
     val manFs = manP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (manFs.exists(manP)) {
@@ -73,10 +81,11 @@ object ResumableStage {
         .filter($"stage" === stage && $"snapshotId" === snapshotId)
         .select($"metricsJson").distinct().as[String].collect()
         .foreach { mj =>
-          require(mj == s"""{"buckets":$nBuckets}""",
+          require(mj == metricsJson,
             s"manifest for ($stage, $snapshotId) was written with $mj " +
-              s"but this run has nBuckets=$nBuckets — resume with the " +
-              "original count, or use a fresh snapshotId + outPath")
+              s"but this run has $metricsJson — resume with the " +
+              "original bucket count and run config, or use a fresh " +
+              "snapshotId + outPath")
         }
     }
     val todo = (0 until nBuckets).filterNot(done.contains)
@@ -137,7 +146,7 @@ object ResumableStage {
       ManifestRow(stage, snapshotId, b,
         st.map(_.getLong(1)).getOrElse(0L),
         st.map(_.getString(2)).getOrElse("0"),
-        s"""{"buckets":$nBuckets}""", now)
+        metricsJson, now)
     }
     spark.createDataFrame(rows).write.mode(SaveMode.Append)
       .parquet(manifestPath)

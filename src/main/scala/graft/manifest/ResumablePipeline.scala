@@ -30,7 +30,8 @@ object ResumablePipeline {
       snapshotId: String = "snap-0"): Int = {
     import spark.implicits._
     ResumableStage.runWith(spark, "kg_triples", snapshotId, nBuckets,
-      outPath, manifestPath) { todo =>
+      outPath, manifestPath,
+      config = graft.kernel.Weights.default.fingerprint) { todo =>
       val files = spark.read.parquet(corpusPath)
         .withColumn("bucket", bucketOfFiles(nBuckets))
         .filter(col("bucket").isin(todo: _*))

@@ -104,7 +104,31 @@ class ResumeSpec extends SparkSpec {
       ResumableStage.runWith(spark, "s", "snap-0", 4, out, man)(
         todo => d.filter(col("bucket").isin(todo: _*)))
     }
-    assert(ex.getMessage.contains("nBuckets=4"))
+    assert(ex.getMessage.contains("\"buckets\":4"))
+  }
+
+  test("resuming under a different run-config fingerprint fails fast (F9)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("resume-cfg").toString
+    val out = s"$tmp/out"; val man = s"$tmp/manifest"
+    val d = Seq((0, "a"), (1, "b")).toDF("bucket", "v")
+    // first run under weights fingerprint A commits bucket metadata
+    val fpA = graft.kernel.Weights.default.fingerprint
+    ResumableStage.runWith(spark, "s", "snap-0", 2, out, man, config = fpA)(
+      todo => d.filter(col("bucket").isin(todo: _*)))
+    // a resume under DIFFERENT weights (retrained model / rule change)
+    // must refuse to splice its buckets into the same snapshot
+    val ex = intercept[IllegalArgumentException] {
+      ResumableStage.runWith(spark, "s", "snap-0", 2, out, man,
+        config = "deadbeef00000000")(
+        todo => d.filter(col("bucket").isin(todo: _*)))
+    }
+    assert(ex.getMessage.contains("deadbeef"))
+    // same config resumes fine (fully committed -> no-op)
+    assert(ResumableStage.runWith(spark, "s", "snap-0", 2, out, man,
+      config = fpA)(todo => d.filter(col("bucket").isin(todo: _*))) == 0)
+    // the fingerprint is stable across Weights instances
+    assert(fpA == graft.kernel.Weights.default.fingerprint)
   }
 
   test("a fully-empty first run commits 0-row buckets without crashing") {
