@@ -90,6 +90,21 @@ object KgQueries {
     "kg_canon" -> ((s, _) =>
       ConnectedComponents.canonicalMap(Linker.aliasDf(s))
         .orderBy(col("entity"))),
+    // the DISTRIBUTED large/small-star loop, driver-graded: a 600k-edge
+    // chain sits ABOVE ConnectedComponents.DriverSolveMaxEdges (so the
+    // star rounds — not the driver union-find gate — produce the
+    // labels) and is the worst case for naive label propagation
+    // (diameter = n). Every node's component is the chain minimum in
+    // closed form, which the DuckDB oracle generates independently.
+    "kg_cc_chain" -> ((s, _) => {
+      val n = 600001L // 600k edges > DriverSolveMaxEdges
+      val edges = s.range(n - 1)
+        .select(format_string("n%07d", col("id")).as("src"),
+          format_string("n%07d", col("id") + 1).as("dst"))
+      ConnectedComponents.run(edges)
+        .select(col("node"), col("component"))
+        .orderBy(col("node"))
+    }),
     "kg_nesting" -> ((s, d) =>
       // localCheckpoint: the mention table is materialized ONCE and the
       // containment self-join reads it twice — without it both join
@@ -192,6 +207,10 @@ object KgQueries {
     "kg_canon" ->
       s"""SELECT entity, canonical FROM ${gold("canon")}
          |ORDER BY entity""".stripMargin,
+    // closed form: every chain node's component is the chain minimum
+    "kg_cc_chain" ->
+      """SELECT printf('n%07d', i) AS node, 'n0000000' AS component
+        |FROM range(0, 600001) t(i) ORDER BY node""".stripMargin,
     "kg_nesting" ->
       s"""WITH m AS (SELECT * FROM ${gold("mentions")}),
          |enc AS (
