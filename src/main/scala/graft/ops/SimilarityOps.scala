@@ -105,19 +105,28 @@ object SimilarityOps {
     // pass — uncached it would hash every embedding twice
     val withB = lshIndex(emb, tables).cache()
     val q = withB.filter(queryPred)
-      .select(col("vec_id").as("query_id"), dvec(col("embedding")).as("qv"),
+      .select(col("vec_id").as("query_id"),
         col("tbl").as("qt"), col("bucket").as("qb"))
     val c = withB.select(col("vec_id").as("neighbor_id"),
-      dvec(col("embedding")).as("cv"), col("tbl").as("ct"),
-      col("bucket").as("cb"))
+      col("tbl").as("ct"), col("bucket").as("cb"))
+    // candidates are ID PAIRS only: with L tables a pair matching in
+    // several buckets appears L times, and round 2 dragged both
+    // embedding arrays through that multiplied dedup shuffle — dedup
+    // the ids first, join the vectors back once per SURVIVING pair
     val cands = broadcast(q).join(c,
       col("qt") === col("ct") && col("qb") === col("cb") &&
         col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    val qv = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), dvec(col("embedding")).as("qv"))
+    val cv = emb.select(col("vec_id").as("neighbor_id"),
+      dvec(col("embedding")).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), asc("neighbor_id"))
     cands
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -244,13 +253,20 @@ object SimilarityOps {
       nPlanes: Int = 4, nTables: Int = 4, dim: Int = 64): DataFrame = {
     // cache: see lshTopK — the self-join reads the hashing pass twice
     val withB = lshIndex(emb, defaultTables(nPlanes, nTables, dim)).cache()
-    val a = withB.select(col("vec_id").as("d1"), col("embedding").as("v1"),
+    val a = withB.select(col("vec_id").as("d1"),
       col("tbl").as("t1"), col("bucket").as("b1"))
-    val b = withB.select(col("vec_id").as("d2"), col("embedding").as("v2"),
+    val b = withB.select(col("vec_id").as("d2"),
       col("tbl").as("t2"), col("bucket").as("b2"))
+    // id-only candidates through the dedup shuffle; vectors join back
+    // once per surviving pair (see lshTopK)
+    val v1 = emb.select(col("vec_id").as("d1"), dvec(col("embedding")).as("v1"))
+    val v2 = emb.select(col("vec_id").as("d2"), dvec(col("embedding")).as("v2"))
     a.join(b, col("t1") === col("t2") && col("b1") === col("b2") &&
         col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
       .dropDuplicates("d1", "d2")
+      .join(v1, Seq("d1"))
+      .join(v2, Seq("d2"))
       .filter(cosine(col("v1"), col("v2")) >= threshold)
       .select(col("d1"), col("d2"))
   }
