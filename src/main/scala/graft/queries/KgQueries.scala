@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * content and gold together), so [[graft.Verify]] materializes the
   * gold mentions/triples/corpus/canon tables to parquet under
   * the sibling `<outDir>_gold/` dir and the oracles are DuckDB `read_parquet` selects
-  * over them (`__OUTDIR__` is substituted with the absolute outDir at
+  * over them (`__GOLDDIR__` is substituted with the absolute gold dir at
   * dump time). A green row therefore proves the distributed kernel +
   * linking + canonicalization reproduce the closed-form gold exactly —
   * the driver-side hard version of the ScalaTest parity suites.
@@ -181,7 +181,7 @@ object KgQueries {
 
   // ----------------------------------------------------------------
   // DuckDB oracles over the gold parquet Verify materializes.
-  // `__OUTDIR__` -> absolute outDir (substituted by Verify at dump
+  // `__GOLDDIR__` -> absolute sibling gold dir (substituted by Verify at dump
   // time). "start"/"end"/"commit" are quoted (reserved words).
   // ----------------------------------------------------------------
 
