@@ -70,6 +70,58 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private def jArr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
+
+  /** One N-vs-4N scaling row: per-config warm-up, then `nTrials`
+    * INTERLEAVED trials (N, 4N, N, 4N, …) so a sustained CPU-steal
+    * window degrades both sides of the ratio instead of silently
+    * halving one. Returns (per-config (n, triples, trial secs),
+    * best-of efficiency, median efficiency) — the artifact carries the
+    * full trial lists, so an interference window is VISIBLE in the
+    * JSON instead of masquerading as a scaling regression. */
+  private def scalingRow(corpusPath: String, baseN: Int, nTrials: Int)
+      : (Seq[(Int, Long, Seq[Double])], Double, Double) = {
+    val configs = Seq(baseN, 4 * baseN)
+    configs.foreach { n =>
+      val s = session(n, s"graft-scale-warm-$n")
+      Pipeline.runFromTableDynamic(s, corpusPath).triples.count()
+      s.stop()
+    }
+    val timed = (1 to nTrials).flatMap { _ =>
+      configs.map { n =>
+        val s = session(n, s"graft-scale-$n")
+        val r = time(Pipeline.runFromTableDynamic(s, corpusPath).triples.count())
+        s.stop()
+        (n, r._1, r._2)
+      }
+    }
+    val rows = configs.map { n =>
+      val rs = timed.filter(_._1 == n)
+      (n, rs.head._2, rs.map(_._3))
+    }
+    def effOf(f: Seq[Double] => Double): Double = {
+      val (nLo, cLo, tLo) = rows.head
+      val (nHi, cHi, tHi) = rows.last
+      ((cHi / f(tHi)) / (cLo / f(tLo))) / (nHi.toDouble / nLo)
+    }
+    (rows, effOf(_.min), effOf(median))
+  }
+
+  private def scRowJson(rows: Seq[(Int, Long, Seq[Double])]): String =
+    rows.map { case (n, cnt, secs) =>
+      val best = secs.min
+      s""""local_$n":{"triples":$cnt,"sec":$best,""" +
+        s""""sec_trials":${jArr(secs)},"sec_median":${median(secs)},""" +
+        s""""triples_per_sec":${cnt / best}}"""
+    }.mkString(",")
+
   /** Representative operator subset (full coverage runs in Verify). */
   private val headline = Seq(
     "q1_agg", "topk_window", "containment_join", "dedup_minhash",
@@ -146,6 +198,11 @@ object Bench {
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       Extract.corpusWrite(spark, scaleFiles, corpusPath)
     }
+    // lease touch: the stale sweep keys COMPLETE dirs on mtime, so every
+    // run that READS a dir refreshes it up front (and again before the
+    // long scaling section) — a concurrent bench whose own run exceeds
+    // the 2h staleness age can no longer sweep this corpus mid-read.
+    new java.io.File(corpusPath).setLastModified(System.currentTimeMillis())
     // 2: pipeline throughput at `cpus` (best of `trials`) — the
     // DYNAMIC-canon variant: the canonical map is mined from the corpus
     // (AliasMining + CC) inside the timed run, so canonicalization is
@@ -163,15 +220,17 @@ object Bench {
     Pipeline.runFromTableDynamic(spark, corpusPath).triples.count() // warm
     val runs = (1 to trials).map(_ => pipeTrial())
     val nTriples = runs.head._1
-    val tPipe = runs.map(_._2).min
+    val pipeSecs = runs.map(_._2)
+    val tPipe = pipeSecs.min
     val tpsCpus = nTriples / tPipe
     // static-canon reference (the r1/r2-comparable number): same
     // pipeline with the prebuilt dictionary canon map. Half the trial
     // budget — it is a reference row, not the headline number.
-    val tStatic = (1 to math.max(1, trials / 2)).map { _ =>
+    val staticSecs = (1 to math.max(1, trials / 2)).map { _ =>
       spark.catalog.clearCache(); System.gc()
       time(Pipeline.runFromTable(spark, corpusPath).triples.count())._2
-    }.min
+    }
+    val tStatic = staticSecs.min
 
     // 2b: frozen-encoder cache re-run (S3): a quarter-scale slice is
     // encoded ONCE into the cache (untimed data prep); the warm run
@@ -199,12 +258,16 @@ object Bench {
       graft.extract.EncodingCache.write(
         graft.extract.Extract.sentences(slice), cachePath)
     }
+    // lease touch — see the corpus dir above
+    new java.io.File(cachePath).setLastModified(System.currentTimeMillis())
     Pipeline.triplesFor(slice).count() // warm JIT for the cold shape
-    val coldSec = (1 to trials)
-      .map(_ => time(Pipeline.triplesFor(slice).count())).map(_._2).min
+    val coldSecs = (1 to trials)
+      .map(_ => time(Pipeline.triplesFor(slice).count())).map(_._2)
+    val coldSec = coldSecs.min
     val warmRuns = (1 to trials)
       .map(_ => time(Pipeline.triplesFromCache(spark, cachePath).count()))
-    val warmSec = warmRuns.map(_._2).min
+    val warmSecs = warmRuns.map(_._2)
+    val warmSec = warmSecs.min
     val cachedTriples = warmRuns.head._1
     spark.stop()
 
@@ -217,45 +280,47 @@ object Bench {
     // then taken across the interleaved trials. JIT persists across
     // SparkSessions (same JVM), so one untimed warm pass per config
     // suffices.
-    val configs = Seq(scaleN, 4 * scaleN)
-    configs.foreach { n =>
-      val s = session(n, s"graft-scale-warm-$n")
-      Pipeline.runFromTableDynamic(s, corpusPath).triples.count()
-      s.stop()
-    }
+    // refresh the corpus lease again — the scaling section alone can
+    // run tens of minutes at larger SCALE_FILES
+    new java.io.File(corpusPath).setLastModified(System.currentTimeMillis())
     val scaleTrials = math.max(2, trials / 2)
-    val timed = (1 to scaleTrials).flatMap { _ =>
-      configs.map { n =>
-        val s = session(n, s"graft-scale-$n")
-        val r = time(Pipeline.runFromTableDynamic(s, corpusPath).triples.count())
-        s.stop()
-        (n, r._1, r._2)
-      }
-    }
-    val scaling = configs.map { n =>
-      val rs = timed.filter(_._1 == n)
-      val best = rs.map(_._3).min
-      (n, rs.head._2, best, rs.head._2 / best)
-    }
-    val tps4 = scaling.head._4
-    val tps16 = scaling.last._4
-    val eff = (tps16 / tps4) / 4.0
+    val (scRows, eff, effMed) = scalingRow(corpusPath, scaleN, scaleTrials)
+    // secondary proxy row (round-3 ADVICE): the local[2]->local[8]
+    // ratio stays visible every round alongside the headline
+    // local[1]->local[4] one, so the two proxies can be compared across
+    // rounds (the single-thread baseline has zero coordination
+    // overhead; 2->8 pays scheduler/shuffle coordination but reads
+    // shared-heap GC above ~8 threads — BASELINE.md documents both).
+    // SPARK_GRAFT_SCALE_N2=0 skips it.
+    val scaleN2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_N2", "2").toInt
+    val secondary =
+      if (scaleN2 > 0 && scaleN2 != scaleN)
+        Some((scaleN2, scalingRow(corpusPath, scaleN2, 2)))
+      else None
 
     val qJson = qTimes.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val scJson = scaling.map { case (n, cnt, t, tps) =>
-      s""""local_$n":{"triples":$cnt,"sec":$t,"triples_per_sec":$tps}"""
-    }.mkString("{", ",", s""","efficiency":$eff}""")
+    val secJson = secondary.map { case (_, (rows2, eff2, effMed2)) =>
+      s""","secondary":{${scRowJson(rows2)},"efficiency":$eff2,""" +
+        s""""efficiency_median":$effMed2}"""
+    }.getOrElse("")
+    val scJson = s"""{${scRowJson(scRows)},"efficiency":$eff,""" +
+      s""""efficiency_median":$effMed$secJson}"""
     // -1 marks an all-trials-failed query; it must not DEFLATE the total
     val total = qTimes.map(_._2).filter(_ >= 0).sum + tPipe
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
         s""""sf":"$sfDir","triples_per_sec":$tpsCpus,""" +
-        s""""pipeline":{"files":$scaleFiles,"triples":$nTriples,"sec":$tPipe},""" +
+        s""""pipeline":{"files":$scaleFiles,"triples":$nTriples,"sec":$tPipe,""" +
+        s""""sec_trials":${jArr(pipeSecs)},"sec_median":${median(pipeSecs)},""" +
+        s""""triples_per_sec_median":${nTriples / median(pipeSecs)}},""" +
         s""""pipeline_static":{"sec":$tStatic,""" +
+        s""""sec_trials":${jArr(staticSecs)},"sec_median":${median(staticSecs)},""" +
         s""""triples_per_sec":${nTriples / tStatic}},""" +
         s""""pipeline_cached":{"triples":$cachedTriples,""" +
         s""""cold_sec":$coldSec,"warm_sec":$warmSec,""" +
+        s""""cold_sec_trials":${jArr(coldSecs)},""" +
+        s""""warm_sec_trials":${jArr(warmSecs)},""" +
         s""""cold_tps":${cachedTriples / coldSec},""" +
         s""""warm_tps":${cachedTriples / warmSec}},""" +
         s""""scaling":$scJson}"""
@@ -267,10 +332,18 @@ object Bench {
     try {
       new java.io.File("BENCH").mkdirs()
       Files.writeString(Paths.get("BENCH/bench_line.json"), line + "\n")
+      val tpsLo = scRows.head._2 / scRows.head._3.min
+      val tpsHi = scRows.last._2 / scRows.last._3.min
+      val secTxt = secondary.map { case (n2, (_, eff2, effMed2)) =>
+        s"| eff${n2}_${4 * n2}=${"%.3f".format(eff2)}" +
+          s"/med ${"%.3f".format(effMed2)} "
+      }.getOrElse("")
       Files.write(Paths.get("BENCH/BASELINE.md"),
         (s"| ${java.time.Instant.now()} | files=$scaleFiles " +
-          s"| tps_local$scaleN=${tps4.round} | tps_local${4*scaleN}=${tps16.round} " +
-          s"| eff=${"%.3f".format(eff)} | tps_bench(${cpus}c)=${tpsCpus.round} |\n")
+          s"| tps_local$scaleN=${tpsLo.round} | tps_local${4*scaleN}=${tpsHi.round} " +
+          s"| eff=${"%.3f".format(eff)}/med ${"%.3f".format(effMed)} " +
+          secTxt +
+          s"| tps_bench(${cpus}c)=${tpsCpus.round} |\n")
           .getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }

@@ -103,9 +103,17 @@ object ConnectedComponents {
       // final label = lexicographic min member — the same labeling the
       // star rounds converge to
       val parent = scala.collection.mutable.HashMap[String, String]()
+      // ITERATIVE find (walk to root, second pass compresses): with
+      // min-name union and no rank, an unluckily ordered edge set (a
+      // path component collected leaf-first) builds a parent chain up
+      // to DriverSolveMaxEdges deep — a recursive find would overflow
+      // the driver stack on its first walk. Labels are unchanged.
       def find(x: String): String = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+        r
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

@@ -269,4 +269,73 @@ object Weights {
       topK = 30,
       maxSpanLen = 16)
   }
+
+  /** `base` with seeded gaussian noise added to every PARAMETER array
+    * (not the hyperparameters) — a stand-in for "the same model a few
+    * training steps earlier", used to seed the EMA shadow below. */
+  def perturbed(base: Weights, seed: Long, std: Double): Weights = {
+    val rng = new Random(seed)
+    def a(x: Array[Double]) = x.map(_ + rng.nextGaussian() * std)
+    def m(x: Array[Array[Double]]) = x.map(a)
+    base.copy(
+      wHead = m(base.wHead), wTail = m(base.wTail), bias = a(base.bias),
+      wSingle = a(base.wSingle), wMulti = a(base.wMulti),
+      wLen = a(base.wLen), triU = m(base.triU), triV = m(base.triV),
+      triW = m(base.triW), w2 = m(base.w2), wBi = a(base.wBi),
+      charEmbed = m(base.charEmbed))
+  }
+
+  /** K13 — EMA weight set (ref main.py:118-121 registers a torch_ema
+    * ExponentialMovingAverage over the parameters; evaluation.py:28-37
+    * decodes under `ema.average_parameters()`, i.e. the flagship decode
+    * runs on the DECAY-AVERAGED weights, not the raw checkpoint).
+    *
+    * torch_ema update, applied literally per step to every parameter
+    * array: shadow = decay*shadow + (1-decay)*param. `shadowInit` plays
+    * the shadow at registration time, `param` the (converged, constant)
+    * parameters being tracked. Deterministic; hyperparameters
+    * (dims, decays, epsilon, topK, maxSpanLen) come from `param`. */
+  def ema(param: Weights, shadowInit: Weights, decay: Double,
+      steps: Int): Weights = {
+    def a(s: Array[Double], p: Array[Double]): Array[Double] = {
+      val out = s.clone()
+      var t = 0
+      while (t < steps) {
+        var i = 0
+        while (i < out.length) {
+          out(i) = decay * out(i) + (1 - decay) * p(i); i += 1
+        }
+        t += 1
+      }
+      out
+    }
+    def m(s: Array[Array[Double]], p: Array[Array[Double]]) =
+      s.zip(p).map { case (sr, pr) => a(sr, pr) }
+    param.copy(
+      wHead = m(shadowInit.wHead, param.wHead),
+      wTail = m(shadowInit.wTail, param.wTail),
+      bias = a(shadowInit.bias, param.bias),
+      wSingle = a(shadowInit.wSingle, param.wSingle),
+      wMulti = a(shadowInit.wMulti, param.wMulti),
+      wLen = a(shadowInit.wLen, param.wLen),
+      triU = m(shadowInit.triU, param.triU),
+      triV = m(shadowInit.triV, param.triV),
+      triW = m(shadowInit.triW, param.triW),
+      w2 = m(shadowInit.w2, param.w2),
+      wBi = a(shadowInit.wBi, param.wBi),
+      charEmbed = m(shadowInit.charEmbed, param.charEmbed))
+  }
+
+  /** The default EMA bundle: shadow seeded at a perturbed checkpoint,
+    * tracked toward [[default]] for 60 steps at decay 0.9 — the
+    * residual perturbation is std(0.5)·0.9⁶⁰ ≈ 9e-4, far inside the
+    * rule margins (±5), so DECISIONS match [[default]] while every
+    * parameter (and the run-config fingerprint) differs numerically.
+    * That is exactly the reference's situation: EMA decode == smoothed
+    * weights, same predictions on converged rules. */
+  def emaDefault: Weights = {
+    val base = default
+    ema(base, perturbed(base, seed = 13L, std = 0.5), decay = 0.9,
+      steps = 60)
+  }
 }

@@ -77,11 +77,16 @@ object ResumableStage {
     val manP = new org.apache.hadoop.fs.Path(manifestPath)
     val manFs = manP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (manFs.exists(manP)) {
+      // legacy rows ({"buckets":N}, written before the config field
+      // existed) carry no fingerprint to compare — treat a missing
+      // config as a wildcard when the bucket count matches, so
+      // pre-change snapshots stay resumable.
+      val legacyJson = s"""{"buckets":$nBuckets}"""
       spark.read.parquet(manifestPath)
         .filter($"stage" === stage && $"snapshotId" === snapshotId)
         .select($"metricsJson").distinct().as[String].collect()
         .foreach { mj =>
-          require(mj == metricsJson,
+          require(mj == metricsJson || mj == legacyJson,
             s"manifest for ($stage, $snapshotId) was written with $mj " +
               s"but this run has $metricsJson — resume with the " +
               "original bucket count and run config, or use a fresh " +

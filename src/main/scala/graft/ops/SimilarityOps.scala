@@ -53,11 +53,18 @@ object SimilarityOps {
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
 
-  /** Sign-pattern LSH index rows (vec_id, embedding, tbl, bucket):
+  /** Sign-pattern LSH index rows (vec_id, tbl, bucket):
     * the hyperplane dot products run in a mapPartitions kernel with
     * the plane matrices broadcast — a literal-expression version
     * (nTables*nPlanes*dim codegen terms) compiles for seconds and
-    * brings no pushdown benefit, so the kernel wins here. */
+    * brings no pushdown benefit, so the kernel wins here.
+    *
+    * Ids only, no vector column: the index is cache()d by both ANN
+    * consumers and self-joined, and every consumer reads just
+    * (vec_id, tbl, bucket) since the id-pair refactor — carrying the
+    * embedding would pin nTables× duplicate arrays in executor storage
+    * (round-3 finding). Consumers join vectors back from `emb` once
+    * per surviving candidate pair. */
   def lshIndex(emb: DataFrame, tables: Array[Array[Array[Double]]]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -79,10 +86,10 @@ object SimilarityOps {
               if (d > 0) b |= (1L << p)
               p += 1
             }
-            (id, v.toSeq, ti, b)
+            (id, ti, b)
           }
         }
-      }.toDF("vec_id", "embedding", "tbl", "bucket")
+      }.toDF("vec_id", "tbl", "bucket")
   }
 
   /** The default multi-table plane set (seeds 11..11+n-1) — exposed so

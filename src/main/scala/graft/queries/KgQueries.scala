@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   * Corpus size scales with the sf dir. */
 object KgQueries {
 
+  /** Corpus slice per sf dir. SPARK_GRAFT_KG_FILES overrides for
+    * scale re-verification runs (e.g. 10x the sf0.1 slice — COVERAGE.md
+    * records the result); the driver never sets it. */
   def nFilesFor(sfDir: String): Long =
-    if (sfDir.contains("0.1")) 15000L
-    else if (sfDir.contains("0.01")) 1500L
-    else 150L
+    sys.env.get("SPARK_GRAFT_KG_FILES").map(_.toLong).getOrElse(
+      if (sfDir.contains("0.1")) 15000L
+      else if (sfDir.contains("0.01")) 1500L
+      else 150L)
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -264,8 +264,13 @@ object RelationalQueries {
   }
 
   // A1+J1: strict P/R/F1 computed relationally (ref evaluation.py:69-103).
-  // ONE action over a full-outer join — pred/gold each computed exactly
-  // once (the production path, StrictMetric.prf, uses the same shape).
+  // One full-outer join — pred/gold each computed exactly once (the
+  // production path, StrictMetric.prf, uses the same shape). The p/r/f1
+  // arithmetic is plain column math over the one aggregated row, so the
+  // whole query stays a lazy plan (no action at construction —
+  // asserted by PlanSpec's construction-listener sweep). Division order
+  // matches the oracle exactly: p = correct/np, r = correct/ng,
+  // f1 = ((2*p)*r)/(p+r), zero-guarded.
   private val prfAgg: Q = (s, d) => {
     val li = t(s, d, "lineitem")
     val pred = li.filter(col("l_quantity") > 25)
@@ -274,19 +279,23 @@ object RelationalQueries {
     val gold = li.filter(col("l_discount") > 0.05)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .withColumn("isG", lit(1L))
-    val row = pred.join(gold, Seq("l_orderkey", "l_partkey"), "full_outer")
+    val counts = pred.join(gold, Seq("l_orderkey", "l_partkey"), "full_outer")
       .agg(
-        sum(when(col("isP") === 1 && col("isG") === 1, 1L).otherwise(0L)),
-        sum(coalesce(col("isP"), lit(0L))),
-        sum(coalesce(col("isG"), lit(0L)))).head()
-    val correct = row.getLong(0)
-    val np = row.getLong(1); val ng = row.getLong(2)
-    import s.implicits._
-    val p = if (np == 0) 0.0 else correct.toDouble / np
-    val r = if (ng == 0) 0.0 else correct.toDouble / ng
-    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
-    Seq((correct, np, ng, p, r, f1))
-      .toDF("correct", "npred", "ngold", "p", "r", "f1")
+        sum(when(col("isP") === 1 && col("isG") === 1, 1L).otherwise(0L))
+          .as("correct"),
+        sum(coalesce(col("isP"), lit(0L))).as("npred"),
+        sum(coalesce(col("isG"), lit(0L))).as("ngold"))
+    val p = when(col("npred") === 0, lit(0.0))
+      .otherwise(col("correct").cast("double") / col("npred"))
+    val r = when(col("ngold") === 0, lit(0.0))
+      .otherwise(col("correct").cast("double") / col("ngold"))
+    counts
+      .withColumn("p", p)
+      .withColumn("r", r)
+      .withColumn("f1", when(col("p") + col("r") === 0, lit(0.0))
+        .otherwise(lit(2.0) * col("p") * col("r") / (col("p") + col("r"))))
+      .select(col("correct"), col("npred"), col("ngold"),
+        col("p"), col("r"), col("f1"))
   }
 
   // S1-family: JSON field extraction from a string column

@@ -37,11 +37,36 @@ object GraphTables {
 
   val NumBuckets = 16
 
+  /** THE table schema (write layout after partition-column reordering:
+    * data columns first, then `pred`/`bucket` partition columns). The
+    * empty-snapshot read path returns a frame of exactly this type, so
+    * the two can never drift apart. */
+  val TableSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("subj", StringType), StructField("obj", StringType),
+      StructField("docId", StringType),
+      StructField("score", DoubleType),
+      StructField("pred", StringType),
+      StructField("bucket", IntegerType)))
+  }
+
   def bucketCol(subj: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(subj), lit(NumBuckets)).cast("int")
 
   private def snapDir(path: String, snapshotId: String): String =
     s"$path/data/snap=$snapshotId"
+
+  /** Does this snapshot dir hold any written partition? Probed via the
+    * Hadoop FileSystem of the path — a java.io.File probe on HDFS/S3
+    * always answers "empty", which would commit rowCount=0 fingerprints
+    * (and fabricate empty reads) for non-empty snapshots. */
+  private def hasPartitions(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("pred="))
+  }
 
   /** Publish one snapshot into its OWN directory, THEN append the
     * manifest row. The previous snapshot's data is never touched, so a
@@ -72,9 +97,7 @@ object GraphTables {
     // an EMPTY publish writes a snap dir with no pred=/bucket= subdirs
     // and no data files — read.parquet on it fails schema inference, so
     // probe first and commit (0, constant hash) like ResumableStage does
-    val hasData = Option(new java.io.File(snapDir(path, snapshotId))
-      .listFiles()).getOrElse(Array.empty)
-      .exists(f => f.isDirectory && f.getName.startsWith("pred="))
+    val hasData = hasPartitions(spark, snapDir(path, snapshotId))
     val (n, h) =
       if (!hasData) (0L, "%016x".format(0L))
       else ContentHash.hex(
@@ -94,25 +117,33 @@ object GraphTables {
 
   /** Time-travel read of one committed snapshot. A legitimately-empty
     * snapshot (rowCount=0 manifest row) has no data files to infer a
-    * schema from — return an explicit empty frame of the table schema
-    * instead of a schema-inference failure. */
+    * schema from — return an explicit empty frame of [[TableSchema]]
+    * instead of a schema-inference failure. A snapshot whose manifest
+    * row says rowCount>0 but whose data dir is gone (expired by
+    * [[expireSnapshots]], or corrupted) FAILS instead of silently
+    * reading as empty; an id with no manifest row at all (uncommitted
+    * or unknown) fails likewise. */
   def readSnapshot(spark: SparkSession, path: String,
       snapshotId: String): DataFrame = {
     val dir = snapDir(path, snapshotId)
-    val hasData = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty)
-      .exists(f => f.isDirectory && f.getName.startsWith("pred="))
-    if (hasData) spark.read.parquet(dir)
+    if (hasPartitions(spark, dir)) spark.read.parquet(dir)
     else {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("subj", StringType), StructField("obj", StringType),
-          StructField("docId", StringType),
-          StructField("score", DoubleType),
-          StructField("pred", StringType),
-          StructField("bucket", IntegerType))))
+      val committedRows = spark.read.parquet(s"$path/manifest")
+        .filter(col("snapshotId") === snapshotId)
+        .orderBy(col("committedAt").desc)
+        .select(col("rowCount")).limit(1)
+        .collect().headOption.map(_.getLong(0))
+      committedRows match {
+        case Some(0L) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            TableSchema)
+        case Some(n) => throw new IllegalStateException(
+          s"snapshot $snapshotId at $path has a committed manifest row " +
+            s"($n rows) but no data dir — expired or corrupted")
+        case None => throw new IllegalStateException(
+          s"snapshot $snapshotId at $path is not committed")
+      }
     }
   }
 
@@ -133,5 +164,53 @@ object GraphTables {
     val m = spark.read.parquet(s"$path/manifest")
     m.orderBy(col("committedAt").desc).select(col("snapshotId"))
       .limit(1).collect().headOption.map(_.getString(0))
+  }
+
+  /** Snapshot GC — without it, every crashed publish (orphan snap dir,
+    * never committed) and every superseded snapshot stays on disk
+    * forever: at a snapshot per ingest that is unbounded storage.
+    *
+    * Deletes a `snap=` dir when it is either
+    *  - COMMITTED but superseded beyond the `keepLast` most recent
+    *    snapshots (time travel within the last `keepLast` stays intact;
+    *    the latest committed snapshot is never deleted — `keepLast` is
+    *    clamped to >= 1), or
+    *  - UNCOMMITTED (no manifest row) and older than `orphanSafetyMs`
+    *    by dir modification time — the age gate keeps an in-flight
+    *    publish (data written, manifest append pending) from being
+    *    swept by a concurrent GC.
+    *
+    * Manifest rows of expired snapshots are kept (cheap lineage);
+    * [[readSnapshot]] on an expired id fails loudly via the
+    * rowCount>0-but-no-data check. Returns the deleted snapshot dirs. */
+  def expireSnapshots(spark: SparkSession, path: String, keepLast: Int,
+      orphanSafetyMs: Long = 6 * 3600 * 1000L): Seq[String] = {
+    val keep = math.max(1, keepLast)
+    val dataP = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataP)) return Seq.empty
+    val manP = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    // committed ids, most recent first (an id republished under the
+    // same snapshotId counts once, at its latest commit time)
+    val committed: Seq[String] =
+      if (!fs.exists(manP)) Seq.empty
+      else spark.read.parquet(s"$path/manifest")
+        .groupBy(col("snapshotId"))
+        .agg(max(col("committedAt")).as("committedAt"))
+        .orderBy(col("committedAt").desc)
+        .select(col("snapshotId"))
+        .collect().map(_.getString(0)).toSeq
+    val keepIds = committed.take(keep).toSet
+    val committedIds = committed.toSet
+    val now = System.currentTimeMillis()
+    fs.listStatus(dataP).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap="))
+      .flatMap { st =>
+        val id = st.getPath.getName.stripPrefix("snap=")
+        val expire =
+          if (committedIds.contains(id)) !keepIds.contains(id)
+          else now - st.getModificationTime > orphanSafetyMs
+        if (expire && fs.delete(st.getPath, true)) Some(id) else None
+      }
   }
 }

@@ -88,8 +88,18 @@ object StreamingPipeline {
     * commits its triples and one lineage row via [[commitBatch]]
     * (idempotent per batchId); the checkpointLocation dedups batches,
     * the manifest gives auditability. */
+  /** Canon contract: each micro-batch canonicalizes against the STATIC
+    * dictionary map — a batch sees only its own files, so it cannot
+    * mine corpus-wide alias edges; its per-batch triples may keep a
+    * novel surface-form alias self-canonical where the batch
+    * dynamic-canon pipeline would merge it. Pass `mentionsPath` to also
+    * accumulate the LINKED mention table per batch (same idempotent
+    * batchId-partition protocol) — [[publishSnapshotDynamic]] then
+    * restores EXACT dynamic-canon parity at publish time by re-running
+    * the shared canon+emit stages over the accumulated union. */
   def triplesStream(files: Dataset[SourceFileHashed], outPath: String,
-      manifestPath: String, checkpoint: String)
+      manifestPath: String, checkpoint: String,
+      mentionsPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     files.writeStream
       .option("checkpointLocation", checkpoint)
@@ -98,6 +108,12 @@ object StreamingPipeline {
         import org.apache.spark.sql.functions._
         val ments = graft.extract.Extract.mentionsFused(batch)
         val linked = graft.link.Linker.link(ments)
+        mentionsPath.foreach { mp =>
+          linked.toDF().withColumn("batchId", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batchId").parquet(mp)
+        }
         val canon = graft.Pipeline.canonicalize(linked.toDF(),
           graft.Pipeline.staticCanonMap(spark))
         import spark.implicits._
@@ -125,6 +141,38 @@ object StreamingPipeline {
       .groupBy(col("subj"), col("pred"), col("obj"), col("docId"))
       .agg(max(col("score")).as("score"))
     graft.sources.GraphTables.write(t, tablePath, snapshotId)
+  }
+
+  /** DYNAMIC-canon snapshot publish: re-runs the shared downstream
+    * stages ([[graft.Pipeline.dynamicCanonMap]] -> canonicalize ->
+    * fused emit) over the mention table accumulated by
+    * [[triplesStream]]'s `mentionsPath` — so a streamed backfill of a
+    * corpus with NOVEL surface-form aliases publishes exactly what the
+    * batch dynamic pipeline ([[graft.Pipeline.dynamicStagesFor]]) emits
+    * (parity by shared code path, asserted in StreamingSpec), where the
+    * per-batch static-canon triples cannot mine cross-corpus alias
+    * edges. Extraction is NOT re-run — only canon+emit, over already-
+    * linked mentions. A docId re-ingested across batches contributes
+    * only its LATEST batch's mentions (last-writer-wins), matching a
+    * batch run over the current corpus state. */
+  def publishSnapshotDynamic(spark: SparkSession, mentionsPath: String,
+      tablePath: String, snapshotId: String): (Long, String) = {
+    import spark.implicits._
+    val all = spark.read.parquet(mentionsPath)
+    val latest = all.groupBy(col("docId"))
+      .agg(max(col("batchId")).as("batchId"))
+    val linked = all.join(latest, Seq("docId", "batchId"))
+      .drop("batchId").persist()
+    try {
+      val canonMap = graft.Pipeline.dynamicCanonMap(spark, linked)
+        .localCheckpoint()
+      val canon = graft.Pipeline.canonicalize(linked, canonMap,
+        hintBroadcast =
+          canonMap.count() <= graft.Pipeline.BroadcastCanonMaxRows)
+      val triples = graft.triples.TripleEmit
+        .emitFused(canon.as[graft.triples.TripleEmit.CanonMention]).toDF()
+      graft.sources.GraphTables.write(triples, tablePath, snapshotId)
+    } finally { linked.unpersist(); () }
   }
 
   /** Streaming exact-dedup by content fingerprint — the streaming

@@ -213,6 +213,72 @@ class CorpusKernelSpec extends AnyFunSuite {
       Tokenizer.tokenizeLine("/** uses it to merge rows */")._1.last)
   }
 
+  test("EMA update follows torch_ema semantics (K13)") {
+    val base = Weights.default
+    val pert = Weights.perturbed(base, seed = 13L, std = 0.5)
+    // steps=0: shadow untouched; decay=0: one step lands on the params
+    assert(Weights.ema(base, pert, 0.9, 0).bias.sameElements(pert.bias))
+    assert(Weights.ema(base, pert, 0.0, 1).bias.sameElements(base.bias))
+    // one literal step: shadow' = d*shadow + (1-d)*param, per element —
+    // (1 - 0.9) spelled as the subtraction, not 0.1: torch_ema computes
+    // one_minus_decay = 1.0 - decay and the float results differ in the
+    // last ulp
+    val one = Weights.ema(base, pert, 0.9, 1)
+    one.bias.indices.foreach { i =>
+      assert(one.bias(i) == 0.9 * pert.bias(i) + (1 - 0.9) * base.bias(i))
+    }
+    // hyperparameters come from the tracked params, not the shadow
+    assert(one.epsilon == base.epsilon && one.topK == base.topK)
+  }
+
+  test("EMA bundle (K13): distinct fingerprint, identical decode decisions") {
+    val w = Weights.default
+    val e = Weights.emaDefault
+    // a genuinely different parameter set — the manifest fingerprint
+    // (F9) separates the two bundles, so a resume that mixes them
+    // fails fast (ResumeSpec)
+    assert(e.fingerprint != w.fingerprint)
+    assert(e.bias.zip(w.bias).exists { case (a, b) => a != b })
+    // the reference's situation exactly (evaluation.py:28-37): the
+    // flagship decode runs on the decay-averaged weights and yields the
+    // same predictions as the converged checkpoint — the residual
+    // perturbation (0.5 * 0.9^60 ~ 9e-4) sits far inside the +-5 rule
+    // margins. Scores must DIFFER numerically (it is a different
+    // bundle); decisions must not.
+    var someScoreDiffers = false
+    (0 until 40).foreach { id =>
+      val g = CorpusGen.file(id.toLong)
+      val docId = s"${g.source.repo}/${g.source.path}"
+      Tokenizer.sentences(docId, g.source.content).foreach { s =>
+        val a = TriaffineScorer.mentions(s, w)
+        val b = TriaffineScorer.mentions(s, e)
+        assert(a.map(m => (m.start, m.end, m.entType)).toSet ==
+          b.map(m => (m.start, m.end, m.entType)).toSet,
+          s"EMA decode diverged: file=$id sent=${s.sentId}")
+        if (a.map(_.score) != b.map(_.score)) someScoreDiffers = true
+      }
+    }
+    assert(someScoreDiffers, "EMA bundle scored bit-identically — " +
+      "the perturbation is not reaching the kernel")
+  }
+
+  test("identity-keyed caches survive bundle ALTERNATION (no stale reuse)") {
+    val w = Weights.default
+    val e = Weights.emaDefault
+    val (toks, tags) = Tokenizer.tokenizeLine("def f(a: Row): Txn = {")
+    def run(b: Weights) = TriaffineScorer.scoreSentence(
+      toks.toIndexedSeq, tags.toIndexedSeq, b)
+    // Workspace and the per-thread token-vector cache are keyed by
+    // Weights identity: scoring w -> e -> w on ONE thread must
+    // reproduce w's scores bit-exactly (a stale sparse row or token
+    // vector from the other bundle would shift them)
+    val first = run(w)
+    val other = run(e)
+    val again = run(w)
+    assert(first == again, "stale cross-bundle cache state leaked")
+    assert(first.map(_.score) != other.map(_.score))
+  }
+
   test("annotation names collide with no alias-dictionary key") {
     val aliases = Vocab.aliasRows.map(_._1).toSet
     Vocab.annots.foreach(a => assert(!aliases.contains(a), a))

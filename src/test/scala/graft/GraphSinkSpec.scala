@@ -108,6 +108,44 @@ class GraphSinkSpec extends SparkSpec {
     assert(edges.count() == want && want > 0)
   }
 
+  test("expireSnapshots: orphans + superseded go, keepLast time travel intact") {
+    val tmp = Files.createTempDirectory("graphgc").toString
+    val st = Pipeline.run(spark, 60)
+    GraphTables.write(st.triples.filter(col("pred") === "calls"), tmp, "snap-1")
+    GraphTables.write(st.triples, tmp, "snap-2")
+    GraphTables.write(st.triples.filter(col("pred") =!= "imports"), tmp, "snap-3")
+    val n2 = GraphTables.readSnapshot(spark, tmp, "snap-2").count()
+    val n3 = GraphTables.readSnapshot(spark, tmp, "snap-3").count()
+    // a crashed publish: data written, manifest append never happened
+    val orphanDir = new java.io.File(s"$tmp/data/snap=crashed")
+    st.triples.limit(5).write.parquet(orphanDir.toString)
+    // age it past the orphan safety window
+    assert(orphanDir.setLastModified(
+      System.currentTimeMillis() - 7L * 3600 * 1000))
+    // and a FRESH orphan (possibly an in-flight publish): must survive
+    st.triples.limit(5).write.parquet(s"$tmp/data/snap=inflight")
+    val removed = GraphTables.expireSnapshots(spark, tmp, keepLast = 2)
+    assert(removed.toSet == Set("snap-1", "crashed"), s"removed $removed")
+    assert(new java.io.File(s"$tmp/data/snap=inflight").exists)
+    // latest + within-keepLast time travel intact
+    assert(GraphTables.latestSnapshot(spark, tmp).contains("snap-3"))
+    assert(GraphTables.read(spark, tmp).count() == n3)
+    assert(GraphTables.readSnapshot(spark, tmp, "snap-2").count() == n2)
+    // an EXPIRED committed snapshot fails loudly — never a silent
+    // empty frame for data that existed (the round-3 ADVICE mode)
+    intercept[IllegalStateException] {
+      GraphTables.readSnapshot(spark, tmp, "snap-1")
+    }
+    // an id with no manifest row at all fails too
+    intercept[IllegalStateException] {
+      GraphTables.readSnapshot(spark, tmp, "no-such-snap")
+    }
+    // keepLast clamps to 1: the latest committed snapshot never goes
+    val removed2 = GraphTables.expireSnapshots(spark, tmp, keepLast = 0)
+    assert(removed2 == Seq("snap-2"))
+    assert(GraphTables.read(spark, tmp).count() == n3)
+  }
+
   test("resumable pipeline: restart computes only missing buckets") {
     val tmp = Files.createTempDirectory("respipe").toString
     val corpus = s"$tmp/corpus"; val out = s"$tmp/out"; val man = s"$tmp/man"

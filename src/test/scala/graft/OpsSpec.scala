@@ -124,6 +124,18 @@ class OpsSpec extends SparkSpec {
     small.zip(smallAgain).foreach { case (a, b) => assert(a.sameElements(b)) }
   }
 
+  test("LSH index rows are id-only (no embedding arrays in the cached index)") {
+    // both ANN consumers cache() the index and self-join it — since the
+    // id-pair refactor no consumer reads the vector from the index, and
+    // carrying it would pin nTables duplicate arrays per vector in
+    // executor storage (round-3 finding)
+    val idx = SimilarityOps.lshIndex(emb, SimilarityOps.defaultTables())
+    assert(idx.columns.toSeq == Seq("vec_id", "tbl", "bucket"))
+    assert(!idx.schema.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"index schema must carry no array column: ${idx.schema}")
+  }
+
   test("LSH ANN recall@5 >= 0.3 vs brute force, and is a valid top-k") {
     val bf = SimilarityOps.bruteForceTopK(emb, col("vec_id") < 10, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

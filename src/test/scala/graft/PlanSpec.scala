@@ -128,6 +128,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("prf_agg builds lazily — no Spark job at DataFrame construction") {
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    // listener delivery is async — drain the bus before reading the
+    // counter (LiveListenerBus.waitUntilEmpty is private[spark], which
+    // compiles to public bytecode: plain reflection reaches it)
+    def drain(): Unit = {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      ()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      def countJobs(f: => Unit): Int = { jobs = 0; f; drain(); jobs }
+      // reading a parquet path can itself launch listing/footer jobs —
+      // that is the file source, not an eager ACTION. Baseline = a
+      // plain lazy read of the same table immediately before; prf_agg's
+      // construction (one read of the same path) must not exceed it.
+      // The old implementation ran .head() at construction (several
+      // jobs over and above the read).
+      val baseline = countJobs {
+        spark.read.parquet(s"$dir/lineitem.parquet"); ()
+      }
+      var df: org.apache.spark.sql.DataFrame = null
+      val build = countJobs {
+        df = SparkEntry.queries("prf_agg")(spark, dir); ()
+      }
+      assert(build <= baseline,
+        s"prf_agg ran $build job(s) at construction vs $baseline for a " +
+          "bare parquet read — it must be a lazy plan")
+      assert(countJobs { assert(df.count() == 1) } > 0,
+        "listener sanity: the count() action must be seen")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("warm cache re-score is shuffle-free (one narrow scan to mentions)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("enc-plan").toString

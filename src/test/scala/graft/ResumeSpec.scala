@@ -131,6 +131,54 @@ class ResumeSpec extends SparkSpec {
     assert(fpA == graft.kernel.Weights.default.fingerprint)
   }
 
+  test("resume under the EMA bundle's fingerprint fails fast (K13 x F9)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("resume-ema").toString
+    val out = s"$tmp/out"; val man = s"$tmp/manifest"
+    val d = Seq((0, "a"), (1, "b")).toDF("bucket", "v")
+    val fpRaw = graft.kernel.Weights.default.fingerprint
+    val fpEma = graft.kernel.Weights.emaDefault.fingerprint
+    assert(fpRaw != fpEma)
+    ResumableStage.runWith(spark, "s", "snap-0", 2, out, man,
+      config = fpRaw)(todo => d.filter(col("bucket").isin(todo: _*)))
+    // decode weights changed to the EMA set mid-snapshot: splicing
+    // EMA-scored buckets next to raw-scored ones must be refused
+    val ex = intercept[IllegalArgumentException] {
+      ResumableStage.runWith(spark, "s", "snap-0", 2, out, man,
+        config = fpEma)(todo => d.filter(col("bucket").isin(todo: _*)))
+    }
+    assert(ex.getMessage.contains(fpRaw))
+    // a FRESH snapshot under the EMA bundle proceeds normally
+    assert(ResumableStage.runWith(spark, "s", "snap-1", 2, out,
+      man, config = fpEma)(
+      todo => d.filter(col("bucket").isin(todo: _*))) == 2)
+  }
+
+  test("legacy manifest rows (pre-config format) stay resumable") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("resume-legacy").toString
+    val out = s"$tmp/out"; val man = s"$tmp/manifest"
+    val d = Seq((0, "a"), (1, "b")).toDF("bucket", "v")
+    val fp = graft.kernel.Weights.default.fingerprint
+    ResumableStage.runWith(spark, "s", "snap-0", 2, out, man,
+      config = fp)(todo => d.filter(col("bucket").isin(todo: _*)))
+    // rewrite the manifest as the pre-config format ({"buckets":N})
+    val legacy = spark.read.parquet(man)
+      .withColumn("metricsJson", lit("""{"buckets":2}"""))
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(man))
+    legacy.write.parquet(man)
+    // missing config field = wildcard when the bucket count matches:
+    // fully committed -> no-op, NOT a spurious config-mismatch failure
+    assert(ResumableStage.runWith(spark, "s", "snap-0", 2, out, man,
+      config = fp)(todo => d.filter(col("bucket").isin(todo: _*))) == 0)
+    // a legacy row with a DIFFERENT bucket count still fails fast
+    intercept[IllegalArgumentException] {
+      ResumableStage.runWith(spark, "s", "snap-0", 4, out, man,
+        config = fp)(todo => d.filter(col("bucket").isin(todo: _*)))
+    }
+  }
+
   test("a fully-empty first run commits 0-row buckets without crashing") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("resume-empty").toString

@@ -97,6 +97,51 @@ class StreamingSpec extends SparkSpec {
     assert(nPub == published.size.toLong)
   }
 
+  test("dynamic-canon publish of a streamed backfill == batch dynamic pipeline") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("stream-dyncanon").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val man = s"$tmp/man"
+    val ments = s"$tmp/ments"; val table = s"$tmp/graph"
+    // a NOVEL camel/snake alias pair, absent from the static
+    // dictionary: only corpus-wide alias mining merges the two forms —
+    // the per-batch static canon keeps the snake call-site
+    // self-canonical, so this corpus makes the static/dynamic
+    // divergence (and the publish path that closes it) observable
+    val novelContent = Seq(
+      "def runNovel(a: Row): Txn = {",
+      "val depotMatrixZz = 1",
+      "y = depot_matrix_zz(x)").mkString("\n")
+    val novel = graft.core.SourceFileHashed("novelrepo", "N.scala", "c0",
+      "scala", novelContent, graft.core.CorpusGen.sha256Hex(novelContent))
+    def files = Extract.corpus(spark, 30).union(Seq(novel).toDS())
+    files.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.option("maxFilesPerTrigger", "2")
+      .schema(schema).parquet(src).as[graft.core.SourceFileHashed]
+    val q = StreamingPipeline.triplesStream(stream, out, man, s"$tmp/ckpt",
+      mentionsPath = Some(ments))
+    q.processAllAvailable(); q.stop()
+    def tset(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "docId").collect().map(_.toSeq).toSet
+    val batchDyn = tset(Pipeline.dynamicStagesFor(files).triples)
+    val (nPub, _) = StreamingPipeline.publishSnapshotDynamic(spark, ments,
+      table, "snap-dyn")
+    val published = tset(graft.sources.GraphTables.read(spark, table))
+    // EXACT parity with the batch dynamic pipeline — shared code path
+    assert(published == batchDyn && batchDyn.nonEmpty,
+      s"+${(published -- batchDyn).take(3)} -${(batchDyn -- published).take(3)}")
+    assert(nPub == published.size.toLong)
+    // and the divergence this path exists to close is real: per-batch
+    // static triples keep the novel snake alias; the dynamic publish
+    // canonicalizes it onto its camel twin
+    val streamedStatic = tset(spark.read.parquet(out))
+    assert(streamedStatic.exists(_.contains("depot_matrix_zz")),
+      "static per-batch canon should keep the novel alias self-canonical")
+    assert(published.exists(_.contains("depotMatrixZz")) &&
+      !published.exists(_.contains("depot_matrix_zz")),
+      "dynamic publish must canonicalize the novel alias")
+  }
+
   test("a retried micro-batch commit is idempotent (no duplicate triples)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("stream-retry").toString
