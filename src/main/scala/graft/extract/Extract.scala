@@ -81,10 +81,11 @@ object Extract {
     * shuffle is needed (reference set-dedup, evaluation.py:26, is a
     * no-op here — asserted in tests). */
   def mentionsFused(files: Dataset[SourceFileHashed],
-      numPartitions: Option[Int] = None): Dataset[Mention] = {
+      numPartitions: Option[Int] = None,
+      weights: Weights = Weights.default): Dataset[Mention] = {
     val spark = files.sparkSession
     import spark.implicits._
-    val bw = spark.sparkContext.broadcast(Weights.default)
+    val bw = spark.sparkContext.broadcast(weights)
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
     files

@@ -72,6 +72,18 @@ object KgQueries {
           col("entType"), col("surface"))
         .orderBy(col("docId"), col("sentId"), col("start"), col("end"),
           col("entType"))),
+    // K13 driver-graded: the SAME extraction under the EMA weight set
+    // (Weights.emaDefault — decay-averaged parameters, the reference's
+    // flagship decode mode, evaluation.py:28-37). Every parameter and
+    // the run-config fingerprint differ from the raw bundle; the
+    // DECISIONS must not — same gold oracle as kg_mentions.
+    "kg_mentions_ema" -> ((s, d) =>
+      Extract.mentionsFused(Extract.corpus(s, nFilesFor(d)),
+        weights = graft.kernel.Weights.emaDefault).toDF()
+        .select(col("docId"), col("sentId"), col("start"), col("end"),
+          col("entType"), col("surface"))
+        .orderBy(col("docId"), col("sentId"), col("start"), col("end"),
+          col("entType"))),
     "kg_triples" -> ((s, d) =>
       Pipeline.run(s, nFilesFor(d)).triples
         .select(col("subj"), col("pred"), col("obj"), col("docId"))
@@ -199,6 +211,12 @@ object KgQueries {
       s"""SELECT repo, path, "commit", lang, sha256(content) AS sha256
          |FROM ${gold("corpus")} ORDER BY repo, path""".stripMargin,
     "kg_mentions" ->
+      s"""SELECT docId, sentId, "start", "end", entType, surface
+         |FROM ${gold("mentions")}
+         |ORDER BY docId, sentId, "start", "end", entType""".stripMargin,
+    // identical gold: EMA decode must reproduce the raw bundle's
+    // decisions exactly (K13)
+    "kg_mentions_ema" ->
       s"""SELECT docId, sentId, "start", "end", entType, surface
          |FROM ${gold("mentions")}
          |ORDER BY docId, sentId, "start", "end", entType""".stripMargin,
