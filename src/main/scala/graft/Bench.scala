@@ -96,6 +96,10 @@ object Bench {
     }
     val timed = (1 to nTrials).flatMap { _ =>
       configs.map { n =>
+        // refresh the corpus lease per trial: the slow leg alone can
+        // approach the 2h sweep age at large SCALE_FILES
+        new java.io.File(corpusPath)
+          .setLastModified(System.currentTimeMillis())
         val s = session(n, s"graft-scale-$n")
         val r = time(Pipeline.runFromTableDynamic(s, corpusPath).triples.count())
         s.stop()
@@ -199,9 +203,10 @@ object Bench {
       Extract.corpusWrite(spark, scaleFiles, corpusPath)
     }
     // lease touch: the stale sweep keys COMPLETE dirs on mtime, so every
-    // run that READS a dir refreshes it up front (and again before the
-    // long scaling section) — a concurrent bench whose own run exceeds
-    // the 2h staleness age can no longer sweep this corpus mid-read.
+    // section that READS a dir refreshes it at its start (and every
+    // scaling/pipeline trial re-touches) — a concurrent bench's sweep
+    // would otherwise delete a corpus mid-read once any single section
+    // stretches past the 2h staleness age at large SCALE_FILES.
     new java.io.File(corpusPath).setLastModified(System.currentTimeMillis())
     // 2: pipeline throughput at `cpus` (best of `trials`) — the
     // DYNAMIC-canon variant: the canonical map is mined from the corpus
@@ -215,6 +220,7 @@ object Bench {
     def pipeTrial(): (Long, Double) = {
       spark.catalog.clearCache()
       System.gc()
+      new java.io.File(corpusPath).setLastModified(System.currentTimeMillis())
       time(Pipeline.runFromTableDynamic(spark, corpusPath).triples.count())
     }
     Pipeline.runFromTableDynamic(spark, corpusPath).triples.count() // warm
@@ -258,8 +264,10 @@ object Bench {
       graft.extract.EncodingCache.write(
         graft.extract.Extract.sentences(slice), cachePath)
     }
-    // lease touch — see the corpus dir above
+    // lease touch — see the corpus dir above (the cold slice reads the
+    // corpus dir too, so refresh both before this section)
     new java.io.File(cachePath).setLastModified(System.currentTimeMillis())
+    new java.io.File(corpusPath).setLastModified(System.currentTimeMillis())
     Pipeline.triplesFor(slice).count() // warm JIT for the cold shape
     val coldSecs = (1 to trials)
       .map(_ => time(Pipeline.triplesFor(slice).count())).map(_._2)
@@ -296,7 +304,12 @@ object Bench {
     val secondary =
       if (scaleN2 > 0 && scaleN2 != scaleN)
         Some((scaleN2, scalingRow(corpusPath, scaleN2, 2)))
-      else None
+      else {
+        // no silent coverage cap: say WHY the secondary row is absent
+        System.err.println(s"[bench] secondary scaling row skipped " +
+          s"(SPARK_GRAFT_SCALE_N2=$scaleN2, primary N=$scaleN)")
+        None
+      }
 
     val qJson = qTimes.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
@@ -321,6 +334,8 @@ object Bench {
         s""""cold_sec":$coldSec,"warm_sec":$warmSec,""" +
         s""""cold_sec_trials":${jArr(coldSecs)},""" +
         s""""warm_sec_trials":${jArr(warmSecs)},""" +
+        s""""cold_sec_median":${median(coldSecs)},""" +
+        s""""warm_sec_median":${median(warmSecs)},""" +
         s""""cold_tps":${cachedTriples / coldSec},""" +
         s""""warm_tps":${cachedTriples / warmSec}},""" +
         s""""scaling":$scJson}"""

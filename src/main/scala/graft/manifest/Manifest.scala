@@ -76,17 +76,22 @@ object ResumableStage {
     // buckets into one snapshot. Fail fast instead.
     val manP = new org.apache.hadoop.fs.Path(manifestPath)
     val manFs = manP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // legacy rows ({"buckets":N}, written before the config field
+    // existed) carry no fingerprint to compare — a missing config is a
+    // wildcard when the bucket count matches, so fully-committed
+    // pre-change snapshots stay READABLE-resumable (no-op). COMPUTING
+    // under a legacy row is refused below: the legacy buckets' config
+    // is unknown, so splicing fresh buckets next to them could mix
+    // weight bundles silently — the inconsistency F9 exists to prevent.
+    val legacyJson = s"""{"buckets":$nBuckets}"""
+    var hasLegacy = false
     if (manFs.exists(manP)) {
-      // legacy rows ({"buckets":N}, written before the config field
-      // existed) carry no fingerprint to compare — treat a missing
-      // config as a wildcard when the bucket count matches, so
-      // pre-change snapshots stay resumable.
-      val legacyJson = s"""{"buckets":$nBuckets}"""
       spark.read.parquet(manifestPath)
         .filter($"stage" === stage && $"snapshotId" === snapshotId)
         .select($"metricsJson").distinct().as[String].collect()
         .foreach { mj =>
-          require(mj == metricsJson || mj == legacyJson,
+          if (mj == legacyJson) hasLegacy = true
+          else require(mj == metricsJson,
             s"manifest for ($stage, $snapshotId) was written with $mj " +
               s"but this run has $metricsJson — resume with the " +
               "original bucket count and run config, or use a fresh " +
@@ -95,6 +100,11 @@ object ResumableStage {
     }
     val todo = (0 until nBuckets).filterNot(done.contains)
     if (todo.isEmpty) return 0
+    require(!hasLegacy,
+      s"manifest for ($stage, $snapshotId) has pre-config legacy rows " +
+        s"and ${todo.size} uncommitted bucket(s) — the legacy buckets' " +
+        "run config is unknown, so completing the snapshot could splice " +
+        "mixed-config data. Recompute under a fresh snapshotId + outPath")
     val pending = compute(todo)
     // purge every bucket dir NOT committed for this (stage, snapshotId)
     // before writing: dynamic overwrite only replaces partitions present

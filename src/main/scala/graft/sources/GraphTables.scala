@@ -128,11 +128,18 @@ object GraphTables {
     val dir = snapDir(path, snapshotId)
     if (hasPartitions(spark, dir)) spark.read.parquet(dir)
     else {
-      val committedRows = spark.read.parquet(s"$path/manifest")
-        .filter(col("snapshotId") === snapshotId)
-        .orderBy(col("committedAt").desc)
-        .select(col("rowCount")).limit(1)
-        .collect().headOption.map(_.getLong(0))
+      // probe the manifest's existence first (Manifest.committed
+      // pattern): a consumer polling a fresh table must get the
+      // contract's "not committed" failure, not a PATH_NOT_FOUND
+      val manP = new org.apache.hadoop.fs.Path(s"$path/manifest")
+      val fs = manP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committedRows =
+        if (!fs.exists(manP)) None
+        else spark.read.parquet(s"$path/manifest")
+          .filter(col("snapshotId") === snapshotId)
+          .orderBy(col("committedAt").desc)
+          .select(col("rowCount")).limit(1)
+          .collect().headOption.map(_.getLong(0))
       committedRows match {
         case Some(0L) =>
           spark.createDataFrame(
@@ -160,9 +167,15 @@ object GraphTables {
         col("bucket") === bucketCol(lit(subj)) &&
         col("subj") === subj)
 
+  /** Tie-break on snapshotId: two publishes can commit within one
+    * clock millisecond, and [[expireSnapshots]] must agree with this
+    * resolution on which snapshot is "latest" — an un-tied sort here
+    * and an independent sort there could disagree and GC the dir this
+    * method resolves. */
   def latestSnapshot(spark: SparkSession, path: String): Option[String] = {
     val m = spark.read.parquet(s"$path/manifest")
-    m.orderBy(col("committedAt").desc).select(col("snapshotId"))
+    m.orderBy(col("committedAt").desc, col("snapshotId").desc)
+      .select(col("snapshotId"))
       .limit(1).collect().headOption.map(_.getString(0))
   }
 
@@ -197,7 +210,9 @@ object GraphTables {
       else spark.read.parquet(s"$path/manifest")
         .groupBy(col("snapshotId"))
         .agg(max(col("committedAt")).as("committedAt"))
-        .orderBy(col("committedAt").desc)
+        // same tie-break as latestSnapshot — the keep-set must contain
+        // whatever readers resolve as latest even on equal timestamps
+        .orderBy(col("committedAt").desc, col("snapshotId").desc)
         .select(col("snapshotId"))
         .collect().map(_.getString(0)).toSeq
     val keepIds = committed.take(keep).toSet

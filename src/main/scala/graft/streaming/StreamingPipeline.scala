@@ -88,15 +88,25 @@ object StreamingPipeline {
     * commits its triples and one lineage row via [[commitBatch]]
     * (idempotent per batchId); the checkpointLocation dedups batches,
     * the manifest gives auditability. */
+  /** Doc-roster side table of the mention accumulation: one row per
+    * (docId, batchId) the batch TOUCHED — including docs that yielded
+    * ZERO mentions. Last-writer-wins at publish time is resolved on
+    * this roster, not on the mention rows themselves: a re-ingested doc
+    * whose new content has no linked mentions must suppress its old
+    * mentions, and the mention table alone cannot say the doc was seen
+    * again. */
+  def rosterPath(mentionsPath: String): String = s"${mentionsPath}_docs"
+
   /** Canon contract: each micro-batch canonicalizes against the STATIC
     * dictionary map — a batch sees only its own files, so it cannot
     * mine corpus-wide alias edges; its per-batch triples may keep a
     * novel surface-form alias self-canonical where the batch
     * dynamic-canon pipeline would merge it. Pass `mentionsPath` to also
-    * accumulate the LINKED mention table per batch (same idempotent
-    * batchId-partition protocol) — [[publishSnapshotDynamic]] then
-    * restores EXACT dynamic-canon parity at publish time by re-running
-    * the shared canon+emit stages over the accumulated union. */
+    * accumulate the LINKED mention table per batch (plus the
+    * [[rosterPath]] doc roster; same idempotent batchId-partition
+    * protocol) — [[publishSnapshotDynamic]] then restores EXACT
+    * dynamic-canon parity at publish time by re-running the shared
+    * canon+emit stages over the accumulated union. */
   def triplesStream(files: Dataset[SourceFileHashed], outPath: String,
       manifestPath: String, checkpoint: String,
       mentionsPath: Option[String] = None)
@@ -107,20 +117,36 @@ object StreamingPipeline {
         val spark = batch.sparkSession
         import org.apache.spark.sql.functions._
         val ments = graft.extract.Extract.mentionsFused(batch)
-        val linked = graft.link.Linker.link(ments)
-        mentionsPath.foreach { mp =>
-          linked.toDF().withColumn("batchId", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batchId").parquet(mp)
+        // persist when two actions read it (the mentions write + the
+        // canon->triples commit): unpersisted, each would re-run the
+        // extraction kernel — the dominant stage — once over
+        val linked0 = graft.link.Linker.link(ments).toDF()
+        val linked =
+          if (mentionsPath.isDefined) linked0.persist() else linked0
+        try {
+          mentionsPath.foreach { mp =>
+            linked.withColumn("batchId", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batchId").parquet(mp)
+            batch.toDF()
+              .select(graft.core.DocId.column.as("docId"))
+              .distinct()
+              .withColumn("batchId", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batchId").parquet(rosterPath(mp))
+          }
+          val canon = graft.Pipeline.canonicalize(linked,
+            graft.Pipeline.staticCanonMap(spark))
+          import spark.implicits._
+          val triples = graft.triples.TripleEmit
+            .emitFused(canon.as[graft.triples.TripleEmit.CanonMention])
+            .toDF()
+          commitBatch(triples, batchId, outPath, manifestPath)
+        } finally {
+          if (mentionsPath.isDefined) { linked.unpersist(); () }
         }
-        val canon = graft.Pipeline.canonicalize(linked.toDF(),
-          graft.Pipeline.staticCanonMap(spark))
-        import spark.implicits._
-        val triples = graft.triples.TripleEmit
-          .emitFused(canon.as[graft.triples.TripleEmit.CanonMention])
-          .toDF()
-        commitBatch(triples, batchId, outPath, manifestPath)
       }
       .start()
   }
@@ -159,7 +185,12 @@ object StreamingPipeline {
       tablePath: String, snapshotId: String): (Long, String) = {
     import spark.implicits._
     val all = spark.read.parquet(mentionsPath)
-    val latest = all.groupBy(col("docId"))
+    // last-writer-wins resolved on the DOC ROSTER, not the mention
+    // rows: a doc re-ingested with zero-mention content writes a
+    // roster row but no mention rows, and resolving max(batchId) over
+    // mentions alone would keep the stale batch's mentions alive
+    val latest = spark.read.parquet(rosterPath(mentionsPath))
+      .groupBy(col("docId"))
       .agg(max(col("batchId")).as("batchId"))
     val linked = all.join(latest, Seq("docId", "batchId"))
       .drop("batchId").persist()

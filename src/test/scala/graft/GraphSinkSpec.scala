@@ -110,6 +110,11 @@ class GraphSinkSpec extends SparkSpec {
 
   test("expireSnapshots: orphans + superseded go, keepLast time travel intact") {
     val tmp = Files.createTempDirectory("graphgc").toString
+    // a consumer polling a FRESH table (no manifest yet) gets the
+    // contract's "not committed" failure, not a parquet PATH_NOT_FOUND
+    intercept[IllegalStateException] {
+      GraphTables.readSnapshot(spark, tmp, "snap-1")
+    }
     val st = Pipeline.run(spark, 60)
     GraphTables.write(st.triples.filter(col("pred") === "calls"), tmp, "snap-1")
     GraphTables.write(st.triples, tmp, "snap-2")

@@ -177,6 +177,19 @@ class ResumeSpec extends SparkSpec {
       ResumableStage.runWith(spark, "s", "snap-0", 4, out, man,
         config = fp)(todo => d.filter(col("bucket").isin(todo: _*)))
     }
+    // a PARTIALLY-committed legacy snapshot must refuse to COMPUTE: the
+    // legacy buckets' config is unknown, and completing the snapshot
+    // under the current weights could splice mixed-bundle data — the
+    // wildcard is only safe when there is nothing left to compute
+    val partial = spark.read.parquet(man).filter(col("bucket") === 0)
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(man))
+    partial.write.parquet(man)
+    val ex = intercept[IllegalArgumentException] {
+      ResumableStage.runWith(spark, "s", "snap-0", 2, out, man,
+        config = fp)(todo => d.filter(col("bucket").isin(todo: _*)))
+    }
+    assert(ex.getMessage.contains("legacy"))
   }
 
   test("a fully-empty first run commits 0-row buckets without crashing") {

@@ -140,6 +140,27 @@ class StreamingSpec extends SparkSpec {
     assert(published.exists(_.contains("depotMatrixZz")) &&
       !published.exists(_.contains("depot_matrix_zz")),
       "dynamic publish must canonicalize the novel alias")
+    // RE-INGEST with zero-mention content: the doc ROSTER (not the
+    // mention rows) must resolve last-writer-wins, or the stale batch's
+    // mentions survive the publish. Same checkpoint -> the resumed
+    // stream processes only the appended file.
+    val emptied = "zzz qqq\nzzz qqq"
+    val novel2 = graft.core.SourceFileHashed("novelrepo", "N.scala", "c1",
+      "scala", emptied, graft.core.CorpusGen.sha256Hex(emptied))
+    Seq(novel2).toDS().write.mode("append").parquet(src)
+    val q2 = StreamingPipeline.triplesStream(
+      spark.readStream.option("maxFilesPerTrigger", "2")
+        .schema(schema).parquet(src).as[graft.core.SourceFileHashed],
+      out, man, s"$tmp/ckpt", mentionsPath = Some(ments))
+    q2.processAllAvailable(); q2.stop()
+    StreamingPipeline.publishSnapshotDynamic(spark, ments, table, "snap-dyn2")
+    val published2 = tset(graft.sources.GraphTables.read(spark, table))
+    assert(!published2.exists(_.contains("novelrepo/N.scala")),
+      "stale mentions of a re-ingested zero-mention doc leaked into the publish")
+    // and it equals a batch dynamic run over the CURRENT corpus state
+    val batchDyn2 = tset(Pipeline.dynamicStagesFor(
+      Extract.corpus(spark, 30).union(Seq(novel2).toDS())).triples)
+    assert(published2 == batchDyn2)
   }
 
   test("a retried micro-batch commit is idempotent (no duplicate triples)") {
