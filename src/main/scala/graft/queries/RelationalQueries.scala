@@ -375,8 +375,27 @@ object RelationalQueries {
       .orderBy(col("doc_id"))
   }
 
+  // F10 — encoder-bundle abbreviation map (ref train_utils.py:4-34).
+  // Deterministic literal roster (BundleNames.demoNames: every table
+  // key plus one name per semantic branch — path forms, kebio
+  // override, unmapped fallback, comma lists); both the scalar and the
+  // per-element list mirror are codegen'd expressions (no UDF). The
+  // DuckDB oracle's CASE chain is GENERATED from the same Abbrev Seq
+  // (cleanChain precedent: the literal table IS the required
+  // semantics), so query and oracle cannot drift.
+  private val bundleName: Q = (s, _) => {
+    import s.implicits._
+    graft.core.BundleNames.demoNames.toDF("name")
+      .select(col("name"),
+        graft.core.BundleNames.mainNameCol(col("name")).as("main_name"),
+        graft.core.BundleNames.mainNameListCol(col("name"))
+          .as("main_names"))
+      .orderBy(col("name"))
+  }
+
   val all: Map[String, Q] = Map(
     "span_enum_gen" -> spanEnumGen,
+    "bundle_name" -> bundleName,
     "json_extract" -> jsonExtract,
     "anti_join" -> antiJoin,
     "first_subword" -> firstSubword,
@@ -432,8 +451,32 @@ object RelationalQueries {
       |    CAST(least(length(string_split(text, ' ')), 12) AS INT) AS n
       |  FROM documents) ORDER BY doc_id""".stripMargin
 
+  // F10 oracle — main_name as one DuckDB expression, generated from
+  // BundleNames.Abbrev (validated branch-for-branch against the
+  // reference's python semantics: kebio override, one trailing slash,
+  // last segment, table lookup, identity fallback, trailing-empty
+  // list segments preserved)
+  private def duckMainName(x: String): String = {
+    val seg =
+      s"list_extract(string_split(regexp_replace($x, '/$$', ''), '/'), -1)"
+    val whens = graft.core.BundleNames.Abbrev
+      .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
+    s"CASE WHEN contains(lower($x), 'kebio') THEN 'kebio' " +
+      s"ELSE (CASE $seg $whens ELSE $seg END) END"
+  }
+
+  private val bundleNameOracle: String = {
+    val vals = graft.core.BundleNames.demoNames
+      .map(n => s"('$n')").mkString(", ")
+    s"""SELECT name, ${duckMainName("name")} AS main_name,
+       |  array_to_string(list_transform(string_split(name, ','),
+       |    y -> ${duckMainName("y")}), ',') AS main_names
+       |FROM (VALUES $vals) t(name) ORDER BY name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "span_enum_gen" -> spanEnumOracle,
+    "bundle_name" -> bundleNameOracle,
     "json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -230,6 +230,39 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == "und")
   }
 
+  test("bundle mainName mirrors (F10): column == pure, pinned vs reference") {
+    import spark.implicits._
+    import graft.core.BundleNames
+    // expected values computed by running the reference's main_name /
+    // main_name_list (train_utils.py:19-34) on these inputs — pins the
+    // branch order (kebio override first, ONE trailing slash, last
+    // path segment, table lookup, identity fallback)
+    val pinned = Map(
+      "biobert_v1.1" -> "biobert",
+      "models/biobert_v1.1/" -> "biobert",
+      "/opt/encoders/scibert_scivocab_uncased" -> "scibert",
+      "custom/path/unknown-enc/" -> "unknown-enc",
+      "KeBioLM" -> "kebio",
+      "hub/KEBIO-large" -> "kebio",
+      "default" -> "default",
+      "models/pubmedbert_abs/,kebio/x,ema" -> "pubmedbert,kebio,ema")
+    pinned.foreach { case (in, exp) =>
+      assert(BundleNames.mainNameList(in) == exp, in)
+    }
+    // the codegen'd Column mirrors agree with the pure mirrors on the
+    // whole demo roster (every Abbrev key + every branch + lists)
+    val out = BundleNames.demoNames.toDF("name")
+      .select(col("name"),
+        BundleNames.mainNameCol(col("name")).as("mn"),
+        BundleNames.mainNameListCol(col("name")).as("mnl"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.length == BundleNames.demoNames.length)
+    out.foreach { case (n, mn, mnl) =>
+      assert(mn == BundleNames.mainName(n), s"mainName($n)")
+      assert(mnl == BundleNames.mainNameList(n), s"mainNameList($n)")
+    }
+  }
+
   test("ptbClean/removeSpace match the reference chain bit-for-bit") {
     import spark.implicits._
     // expected strings computed by running the reference's clean()/
