@@ -90,6 +90,11 @@ object Bench {
       : (Seq[(Int, Long, Seq[Double])], Double, Double) = {
     val configs = Seq(baseN, 4 * baseN)
     configs.foreach { n =>
+      // the warm-up legs read the whole corpus too — refresh the lease
+      // here as well, or the untouched window (last prior trial + both
+      // warm-ups) can cross the 2h sweep age at large SCALE_FILES
+      new java.io.File(corpusPath)
+        .setLastModified(System.currentTimeMillis())
       val s = session(n, s"graft-scale-warm-$n")
       Pipeline.runFromTableDynamic(s, corpusPath).triples.count()
       s.stop()

@@ -30,12 +30,10 @@ object ResumableStage {
   def committed(spark: SparkSession, manifestPath: String, stage: String,
       snapshotId: String): Set[Int] = {
     import spark.implicits._
-    // Probe via the Hadoop FileSystem of the path, not java.io.File —
-    // on HDFS/S3 a local-file probe always says "missing" and a restart
-    // would silently recompute every bucket.
-    val p = new org.apache.hadoop.fs.Path(manifestPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
+    // Fs.exists (Hadoop probe, not java.io.File): a local-file probe on
+    // HDFS/S3 always says "missing" — a restart would silently
+    // recompute every bucket.
+    if (!graft.sources.Fs.exists(spark, manifestPath)) Set.empty
     else spark.read.parquet(manifestPath)
       .filter($"stage" === stage && $"snapshotId" === snapshotId)
       .select($"bucket").distinct()
@@ -74,8 +72,6 @@ object ResumableStage {
     // resuming with a DIFFERENT bucket count or run config than this
     // (stage, snapshotId) was started with would splice incompatible
     // buckets into one snapshot. Fail fast instead.
-    val manP = new org.apache.hadoop.fs.Path(manifestPath)
-    val manFs = manP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // legacy rows ({"buckets":N}, written before the config field
     // existed) carry no fingerprint to compare — a missing config is a
     // wildcard when the bucket count matches, so fully-committed
@@ -85,7 +81,7 @@ object ResumableStage {
     // weight bundles silently — the inconsistency F9 exists to prevent.
     val legacyJson = s"""{"buckets":$nBuckets}"""
     var hasLegacy = false
-    if (manFs.exists(manP)) {
+    if (graft.sources.Fs.exists(spark, manifestPath)) {
       spark.read.parquet(manifestPath)
         .filter($"stage" === stage && $"snapshotId" === snapshotId)
         .select($"metricsJson").distinct().as[String].collect()

@@ -33,6 +33,30 @@ object ContentHash {
   }
 }
 
+/** THE Hadoop-FS existence probes for manifest/snapshot path checks
+  * (ResumableStage, GraphTables, StreamingPipeline). java.io.File on
+  * HDFS/S3 always answers "missing", which turns restart/read guards
+  * into silent recomputes or fabricated empty reads — probe via the
+  * FileSystem resolved from the path itself. */
+object Fs {
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Does `dir` hold any `prefix`-named partition subdir? A parquet
+    * write whose data had zero rows leaves a dir (just _SUCCESS) that
+    * fails schema inference on read — callers probe before reading and
+    * substitute an explicit empty frame. */
+  def hasPartitions(spark: SparkSession, dir: String,
+      prefix: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+  }
+}
+
 object GraphTables {
 
   val NumBuckets = 16
@@ -57,16 +81,11 @@ object GraphTables {
   private def snapDir(path: String, snapshotId: String): String =
     s"$path/data/snap=$snapshotId"
 
-  /** Does this snapshot dir hold any written partition? Probed via the
-    * Hadoop FileSystem of the path — a java.io.File probe on HDFS/S3
-    * always answers "empty", which would commit rowCount=0 fingerprints
-    * (and fabricate empty reads) for non-empty snapshots. */
-  private def hasPartitions(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(st => st.isDirectory && st.getPath.getName.startsWith("pred="))
-  }
+  /** Does this snapshot dir hold any written partition? (A bare probe
+    * would commit rowCount=0 fingerprints and fabricate empty reads for
+    * non-empty snapshots on HDFS/S3 — see [[Fs]].) */
+  private def hasPartitions(spark: SparkSession, dir: String): Boolean =
+    Fs.hasPartitions(spark, dir, "pred=")
 
   /** Publish one snapshot into its OWN directory, THEN append the
     * manifest row. The previous snapshot's data is never touched, so a
@@ -131,10 +150,8 @@ object GraphTables {
       // probe the manifest's existence first (Manifest.committed
       // pattern): a consumer polling a fresh table must get the
       // contract's "not committed" failure, not a PATH_NOT_FOUND
-      val manP = new org.apache.hadoop.fs.Path(s"$path/manifest")
-      val fs = manP.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val committedRows =
-        if (!fs.exists(manP)) None
+        if (!Fs.exists(spark, s"$path/manifest")) None
         else spark.read.parquet(s"$path/manifest")
           .filter(col("snapshotId") === snapshotId)
           .orderBy(col("committedAt").desc)

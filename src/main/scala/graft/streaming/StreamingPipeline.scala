@@ -163,6 +163,15 @@ object StreamingPipeline {
     * (rowCount, contentHash) of the published snapshot. */
   def publishSnapshot(spark: SparkSession, outPath: String,
       tablePath: String, snapshotId: String): (Long, String) = {
+    // an accumulation whose EVERY batch committed zero triples wrote no
+    // batchId= partitions — read.parquet on the bare dir fails schema
+    // inference; the correct publish is a legitimate EMPTY snapshot
+    // (same probe-then-empty shape as GraphTables.write/readSnapshot)
+    if (!graft.sources.Fs.hasPartitions(spark, outPath, "batchId=")) {
+      import spark.implicits._
+      return graft.sources.GraphTables.write(
+        spark.emptyDataset[graft.core.Triple].toDF(), tablePath, snapshotId)
+    }
     val t = spark.read.parquet(outPath)
       .groupBy(col("subj"), col("pred"), col("obj"), col("docId"))
       .agg(max(col("score")).as("score"))
@@ -184,12 +193,36 @@ object StreamingPipeline {
   def publishSnapshotDynamic(spark: SparkSession, mentionsPath: String,
       tablePath: String, snapshotId: String): (Long, String) = {
     import spark.implicits._
+    // every batch yielded zero LINKED mentions -> no batchId=
+    // partitions under mentionsPath; publish a legitimate empty
+    // snapshot instead of failing schema inference (same probe shape
+    // as publishSnapshot / GraphTables.write)
+    if (!graft.sources.Fs.hasPartitions(spark, mentionsPath, "batchId="))
+      return graft.sources.GraphTables.write(
+        spark.emptyDataset[graft.core.Triple].toDF(), tablePath, snapshotId)
     val all = spark.read.parquet(mentionsPath)
-    // last-writer-wins resolved on the DOC ROSTER, not the mention
-    // rows: a doc re-ingested with zero-mention content writes a
-    // roster row but no mention rows, and resolving max(batchId) over
-    // mentions alone would keep the stale batch's mentions alive
-    val latest = spark.read.parquet(rosterPath(mentionsPath))
+    // last-writer-wins resolved on the union of the DOC ROSTER and the
+    // mention rows' own (docId, batchId) projection:
+    //  - the roster records every doc a batch TOUCHED, including a
+    //    re-ingest whose new content has zero linked mentions — mention
+    //    rows alone cannot say the doc was seen again, so max(batchId)
+    //    over mentions alone would keep the stale batch's mentions;
+    //  - mention rows cover batches accumulated BEFORE the roster
+    //    existed (a legacy accumulation resumed under this code has no
+    //    roster rows for those batches — joining against the roster
+    //    alone would silently drop every pre-roster doc; with no roster
+    //    dir at all the read itself would fail).
+    // The max over the union is the true latest touch in every case
+    // except a PRE-roster zero-mention re-ingest, which left no record
+    // of itself anywhere and is unknowable by construction.
+    val mentionTouches = all.select(col("docId"), col("batchId"))
+    val rosterP = rosterPath(mentionsPath)
+    val touched =
+      if (graft.sources.Fs.hasPartitions(spark, rosterP, "batchId="))
+        spark.read.parquet(rosterP).select(col("docId"), col("batchId"))
+          .unionByName(mentionTouches)
+      else mentionTouches
+    val latest = touched
       .groupBy(col("docId"))
       .agg(max(col("batchId")).as("batchId"))
     val linked = all.join(latest, Seq("docId", "batchId"))

@@ -163,6 +163,77 @@ class StreamingSpec extends SparkSpec {
     assert(published2 == batchDyn2)
   }
 
+  test("dynamic publish of a LEGACY accumulation (no/partial roster) keeps every doc") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("stream-legacy").toString
+    val ments = s"$tmp/ments"; val table = s"$tmp/graph"
+    // batch 0 accumulated under pre-roster code: mention rows only, NO
+    // roster dir — the publish must fall back to the mention rows' own
+    // (docId, batchId) projection instead of crashing or dropping docs
+    def files0 = Extract.corpus(spark, 20)
+    val linked0 = graft.link.Linker.link(Extract.mentionsFused(files0)).toDF()
+    linked0.withColumn("batchId", lit(0L))
+      .write.mode("overwrite").partitionBy("batchId").parquet(ments)
+    def tset(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "docId").collect().map(_.toSeq).toSet
+    val (n0, _) = StreamingPipeline.publishSnapshotDynamic(spark, ments,
+      table, "legacy-0")
+    val pub0 = tset(graft.sources.GraphTables.read(spark, table))
+    assert(pub0 == tset(Pipeline.dynamicStagesFor(files0).triples) &&
+      pub0.nonEmpty && n0 == pub0.size.toLong,
+      "no-roster legacy accumulation must publish == batch dynamic")
+    // batch 1 lands AFTER the roster upgrade (roster rows exist for it
+    // alone): pre-roster docs must still contribute their mentions
+    val extraSrc = "def legacyKeeper(b: Int): Int = {\nval keeperValZz = 2"
+    val extra = graft.core.SourceFileHashed("legacyrepo", "L.scala", "c9",
+      "scala", extraSrc, graft.core.CorpusGen.sha256Hex(extraSrc))
+    val linked1 = graft.link.Linker.link(
+      Extract.mentionsFused(Seq(extra).toDS())).toDF()
+    linked1.withColumn("batchId", lit(1L))
+      .write.mode("append").partitionBy("batchId").parquet(ments)
+    Seq(extra).toDS().toDF()
+      .select(graft.core.DocId.column.as("docId"))
+      .distinct().withColumn("batchId", lit(1L))
+      .write.mode("overwrite").partitionBy("batchId")
+      .parquet(StreamingPipeline.rosterPath(ments))
+    StreamingPipeline.publishSnapshotDynamic(spark, ments, table, "legacy-1")
+    val pub1 = tset(graft.sources.GraphTables.read(spark, table))
+    assert(pub1 == tset(Pipeline.dynamicStagesFor(
+      files0.union(Seq(extra).toDS())).triples),
+      "partial-roster accumulation must keep pre-roster docs AND the new batch")
+    assert(pub1.exists(_.contains("legacyrepo/L.scala")) &&
+      pub1.size > pub0.size)
+  }
+
+  test("publish of an all-zero-mention accumulation is a legitimate empty snapshot") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("stream-empty").toString
+    val ments = s"$tmp/ments"; val out = s"$tmp/out"
+    // the exact on-disk shape a stream of zero-yield batches leaves:
+    // parquet commit of an empty frame -> dir with _SUCCESS only
+    val linked = graft.link.Linker.link(
+      Extract.mentionsFused(Extract.corpus(spark, 2))).toDF()
+    linked.filter(lit(false)).withColumn("batchId", lit(0L))
+      .write.mode("overwrite").partitionBy("batchId").parquet(ments)
+    val (nDyn, _) = StreamingPipeline.publishSnapshotDynamic(spark, ments,
+      s"$tmp/graphDyn", "empty-dyn")
+    assert(nDyn == 0L)
+    val readBack = graft.sources.GraphTables.read(spark, s"$tmp/graphDyn")
+    assert(readBack.count() == 0 &&
+      readBack.schema == graft.sources.GraphTables.TableSchema)
+    // static publish path: same empty-accumulation shape on the
+    // per-batch TRIPLES dir
+    linked.filter(lit(false))
+      .select(lit("s").as("subj"), lit("p").as("pred"), lit("o").as("obj"),
+        lit("d").as("docId"), lit(0.0).as("score"))
+      .withColumn("batchId", lit(0L))
+      .write.mode("overwrite").partitionBy("batchId").parquet(out)
+    val (nStat, _) = StreamingPipeline.publishSnapshot(spark, out,
+      s"$tmp/graphStat", "empty-stat")
+    assert(nStat == 0L &&
+      graft.sources.GraphTables.read(spark, s"$tmp/graphStat").count() == 0)
+  }
+
   test("a retried micro-batch commit is idempotent (no duplicate triples)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("stream-retry").toString
