@@ -154,13 +154,19 @@ object StreamingPipeline {
   /** Publish the union of all COMMITTED streamed batches as one
     * [[graft.sources.GraphTables]] snapshot — the step that turns a
     * streamed backfill into a consumable graph table (round 2 committed
-    * per-batch parquet but never published a snapshot). Re-emitted
-    * docIds across batches (a re-ingested file) collapse by
-    * (subj, pred, obj, docId) max-score — the same dedup rule as the
-    * batch emitters. Snapshot isolation comes from GraphTables.write
-    * (own snap dir, manifest append LAST), so a crash mid-publish
-    * leaves readers on the previous snapshot. Returns
-    * (rowCount, contentHash) of the published snapshot. */
+    * per-batch parquet but never published a snapshot). A docId
+    * re-ingested across batches contributes only its LATEST batch's
+    * triples (last-writer-wins per doc, the same rule as
+    * [[publishSnapshotDynamic]]) — a bare union would keep stale
+    * triples whose facts vanished from the newer content. The one case
+    * this path cannot resolve is a re-ingest whose new content yields
+    * ZERO triples (no row records the doc was seen again); run
+    * [[triplesStream]] with `mentionsPath` and publish via
+    * [[publishSnapshotDynamic]] (doc roster) when that matters.
+    * Snapshot isolation comes from GraphTables.write (own snap dir,
+    * manifest append LAST), so a crash mid-publish leaves readers on
+    * the previous snapshot. Returns (rowCount, contentHash) of the
+    * published snapshot. */
   def publishSnapshot(spark: SparkSession, outPath: String,
       tablePath: String, snapshotId: String): (Long, String) = {
     // an accumulation whose EVERY batch committed zero triples wrote no
@@ -172,7 +178,13 @@ object StreamingPipeline {
       return graft.sources.GraphTables.write(
         spark.emptyDataset[graft.core.Triple].toDF(), tablePath, snapshotId)
     }
-    val t = spark.read.parquet(outPath)
+    val all = spark.read.parquet(outPath)
+    val latest = all.groupBy(col("docId"))
+      .agg(max(col("batchId")).as("batchId"))
+    val t = all.join(latest, Seq("docId", "batchId"))
+      // collapse a retried batch's identical rows (idempotent commit
+      // already overwrites the partition; the agg is belt-and-braces
+      // and drops the batchId column from the published schema)
       .groupBy(col("subj"), col("pred"), col("obj"), col("docId"))
       .agg(max(col("score")).as("score"))
     graft.sources.GraphTables.write(t, tablePath, snapshotId)

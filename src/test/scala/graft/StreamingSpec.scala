@@ -95,6 +95,32 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(published == batch)
     assert(nPub == published.size.toLong)
+    // RE-INGEST file 0 under the same docId with DIFFERENT content
+    // (file 97's source text): the next publish must carry only the
+    // latest batch's triples for that doc — a bare cross-batch union
+    // would keep file 0's stale facts alive
+    val f0 = graft.core.CorpusGen.file(0).source
+    val altContent = graft.core.CorpusGen.file(97).source.content
+    val re = graft.core.SourceFileHashed(f0.repo, f0.path, "c1", f0.lang,
+      altContent, graft.core.CorpusGen.sha256Hex(altContent))
+    Seq(re).toDS().write.mode("append").parquet(src)
+    val q2 = StreamingPipeline.triplesStream(
+      spark.readStream.option("maxFilesPerTrigger", "3")
+        .schema(schema).parquet(src).as[graft.core.SourceFileHashed],
+      out, man, s"$tmp/ckpt")
+    q2.processAllAvailable(); q2.stop()
+    StreamingPipeline.publishSnapshot(spark, out, table, "snap-001")
+    val pub2 = graft.sources.GraphTables.read(spark, table)
+      .select("subj", "pred", "obj", "docId")
+      .collect().map(_.toSeq).toSet
+    val curFiles = Extract.corpus(spark, 80)
+      .filter(f => !(f.repo == f0.repo && f.path == f0.path))
+      .union(Seq(re).toDS())
+    val batch2 = Pipeline.triplesFor(curFiles)
+      .select("subj", "pred", "obj", "docId")
+      .collect().map(_.toSeq).toSet
+    assert(pub2 == batch2 && pub2 != batch,
+      s"stale/missing: +${(pub2 -- batch2).take(3)} -${(batch2 -- pub2).take(3)}")
   }
 
   test("dynamic-canon publish of a streamed backfill == batch dynamic pipeline") {
