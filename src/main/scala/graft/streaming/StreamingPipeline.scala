@@ -170,9 +170,14 @@ object StreamingPipeline {
   def publishSnapshot(spark: SparkSession, outPath: String,
       tablePath: String, snapshotId: String): (Long, String) = {
     // an accumulation whose EVERY batch committed zero triples wrote no
-    // batchId= partitions — read.parquet on the bare dir fails schema
-    // inference; the correct publish is a legitimate EMPTY snapshot
-    // (same probe-then-empty shape as GraphTables.write/readSnapshot)
+    // batchId= partitions (just _SUCCESS) — read.parquet on the bare
+    // dir fails schema inference; the correct publish is a legitimate
+    // EMPTY snapshot (same probe-then-empty shape as GraphTables.write/
+    // readSnapshot). A MISSING dir is different: no stream ever
+    // committed there, so publishing "empty" would mask a typo'd path —
+    // fail loudly instead.
+    require(graft.sources.Fs.exists(spark, outPath),
+      s"no streamed accumulation at $outPath — nothing was ever committed")
     if (!graft.sources.Fs.hasPartitions(spark, outPath, "batchId=")) {
       import spark.implicits._
       return graft.sources.GraphTables.write(
@@ -206,9 +211,14 @@ object StreamingPipeline {
       tablePath: String, snapshotId: String): (Long, String) = {
     import spark.implicits._
     // every batch yielded zero LINKED mentions -> no batchId=
-    // partitions under mentionsPath; publish a legitimate empty
-    // snapshot instead of failing schema inference (same probe shape
-    // as publishSnapshot / GraphTables.write)
+    // partitions under mentionsPath (just _SUCCESS); publish a
+    // legitimate empty snapshot instead of failing schema inference
+    // (same probe shape as publishSnapshot / GraphTables.write). A
+    // MISSING dir means no stream ever accumulated here — fail loudly
+    // rather than mask a typo'd path with an empty publish.
+    require(graft.sources.Fs.exists(spark, mentionsPath),
+      s"no mention accumulation at $mentionsPath — nothing was ever " +
+        "committed (triplesStream needs mentionsPath=Some(...))")
     if (!graft.sources.Fs.hasPartitions(spark, mentionsPath, "batchId="))
       return graft.sources.GraphTables.write(
         spark.emptyDataset[graft.core.Triple].toDF(), tablePath, snapshotId)

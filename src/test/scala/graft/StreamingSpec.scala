@@ -258,6 +258,16 @@ class StreamingSpec extends SparkSpec {
       s"$tmp/graphStat", "empty-stat")
     assert(nStat == 0L &&
       graft.sources.GraphTables.read(spark, s"$tmp/graphStat").count() == 0)
+    // a MISSING accumulation dir is a caller bug (typo'd path / stream
+    // never ran), not a legitimate empty publish — both paths fail loudly
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.publishSnapshotDynamic(spark, s"$tmp/nope",
+        s"$tmp/graphX", "x")
+    }
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.publishSnapshot(spark, s"$tmp/nope2",
+        s"$tmp/graphY", "y")
+    }
   }
 
   test("a retried micro-batch commit is idempotent (no duplicate triples)") {
