@@ -190,4 +190,12 @@ object Pipeline {
     import spark.implicits._
     spark.range(nFiles).flatMap(id => CorpusGen.file(id).mentions).toDF()
   }
+
+  /** Gold sentence lengths (closed-form, from the generator's
+    * pre-render token vectors — independent of the engine tokenizer):
+    * the neg_sample oracle enumerates its span universe from these. */
+  def goldSentences(spark: SparkSession, nFiles: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nFiles).flatMap(id => CorpusGen.file(id).sents).toDF()
+  }
 }

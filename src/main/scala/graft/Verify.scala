@@ -58,6 +58,10 @@ object Verify {
         .select("repo", "path", "commit", "lang", "content"), "corpus")
       w(graft.core.Vocab.canonicalOf.toSeq.sortBy(_._1)
         .toDF("entity", "canonical"), "canon")
+      // closed-form sentence lengths for the neg_sample span universe
+      // (K12) — same n/10 slice the query runs on
+      w(Pipeline.goldSentences(spark,
+        graft.queries.KgQueries.negSampleFiles(sfDir)), "sentences")
       // LSH hyperplanes: the ann_lsh oracle recomputes bucket
       // assignment in DuckDB from this matrix
       w(graft.ops.SimilarityOps.defaultTables().zipWithIndex.flatMap {

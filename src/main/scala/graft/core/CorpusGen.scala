@@ -24,8 +24,16 @@ object CorpusGen {
       end: Int, entType: String, surface: String)
   final case class GoldTriple(subj: String, pred: String, obj: String,
       docId: String)
+  /** Closed-form sentence length (token count of the PRE-render token
+    * vector — the tokenizer inverts render, so this equals the engine
+    * tokenizer's count; the round-trip test pins the inversion). Lets
+    * the neg_sample oracle enumerate the span universe without
+    * re-implementing code-aware tokenization in SQL. Every grammar
+    * line is far below maxSentLen=64, so no truncation cap applies. */
+  final case class GoldSentence(docId: String, sentId: Int, n: Int)
   final case class Generated(source: SourceFileHashed,
-      mentions: Vector[GoldMention], triples: Vector[GoldTriple])
+      mentions: Vector[GoldMention], triples: Vector[GoldTriple],
+      sents: Vector[GoldSentence])
 
   private val langs = Vector("scala", "java", "python")
   private val exts = Map("scala" -> "scala", "java" -> "java",
@@ -78,9 +86,13 @@ object CorpusGen {
     val lines = Vector.newBuilder[String]
     val mentions = Vector.newBuilder[GoldMention]
     val triples = Vector.newBuilder[GoldTriple]
+    val sents = Vector.newBuilder[GoldSentence]
     var sentId = 0
     def emit(toks: Seq[String]): Int = {
       val id = sentId
+      // blank separator lines keep their index but emit no sentence —
+      // mirrors Tokenizer.sentences exactly
+      if (toks.nonEmpty) sents += GoldSentence(docId, id, toks.length)
       lines += render(toks); sentId += 1; id
     }
 
@@ -249,6 +261,7 @@ object CorpusGen {
       SourceFileHashed(repo, path, commit, lang, content,
         sha256Hex(content)),
       mentions.result(),
-      triples.result().distinct)
+      triples.result().distinct,
+      sents.result())
   }
 }

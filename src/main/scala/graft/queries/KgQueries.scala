@@ -33,6 +33,89 @@ object KgQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Corpus slice for neg_sample: a tenth of the kg slice — the span
+    * universe is ~40x the sentence count, so the full slice would push
+    * the driver compare into the millions of rows for no extra
+    * evidence. */
+  def negSampleFiles(sfDir: String): Long = math.max(nFilesFor(sfDir) / 10, 15L)
+
+  /** Reference hard_neg_dist (span_utils.py:15): the tridiagonal-band
+    * dilation run twice == the L1 ball of radius 2 in (start, end). */
+  val HardNegDist = 2
+  private val NegSampleSeed = 42
+
+  /** K12 negative sampling (reference span_utils.py:4-40) as a
+    * relational plan over the engine's own extraction:
+    *
+    *  - positives = extracted mention spans (== closed-form gold,
+    *    kg_eval pins P/R = 1.0, so the oracle recomputes them
+    *    independently);
+    *  - HARD negatives = non-positive cells of the P3/P4 span grid
+    *    within L1 distance [[HardNegDist]] of a positive — the
+    *    reference's `neg_step` dilation (w@H + H@w, w = tridiagonal
+    *    band) iterated hard_neg_dist times reaches exactly the cells
+    *    with |ds|+|de| <= dist;
+    *  - EASY negatives (all remaining grid cells) are dropped with
+    *    probability pos_cnt/easy_cnt per sentence — the reference's
+    *    `rand > pos_count/(1e-6+easy_count)` keep rule with the F13
+    *    partition-stable hash uniform instead of rand(seed), in EXACT
+    *    integer arithmetic: keep iff u_ppm * easy_cnt >= pos_cnt * 1e6.
+    *    (The reference's 1e-6 only guards division by zero; the
+    *    integer form never divides.) Dropped rows are the reference's
+    *    -100 ignore label — omitted here.
+    *
+    * Spans are exclusive-end like gold mentions; the span grid comes
+    * from the native spans() Generator (F6) with the kernel's
+    * maxSpanLen=16 tri-mask bound. One equi-join on (docId, sentId)
+    * with the band residual + one groupBy on the span key + one
+    * partitioned window — no cross join, no driver loop. */
+  private def negSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = negSampleFiles(d)
+    graft.functions.SpanFunctions.register(s)
+    val sents = Extract.sentences(Extract.corpus(s, n))
+      .select(col("docId"), col("sentId"), size(col("tokens")).as("n"))
+    val universe = sents
+      .selectExpr("docId", "sentId", "spans(n, 16) AS (start, end_incl)")
+      .select(col("docId"), col("sentId"), col("start"),
+        (col("end_incl") + 1).as("end"))
+    // the label input: the engine's own extraction (distinct spans —
+    // a cell is positive whatever type(s) it carries, span_utils.py:20)
+    val g = Extract.run(s, n).toDF()
+      .select(col("docId").as("gdocId"), col("sentId").as("gsentId"),
+        col("start").as("gs"), col("end").as("ge"))
+      .distinct()
+    val lab = universe.join(g,
+        col("docId") === col("gdocId") && col("sentId") === col("gsentId") &&
+          (abs(col("start") - col("gs")) + abs(col("end") - col("ge"))
+            <= lit(HardNegDist)),
+        "left")
+      .groupBy(col("docId"), col("sentId"), col("start"), col("end"))
+      .agg(
+        max(when(col("gs") === col("start") && col("ge") === col("end"), 1)
+          .otherwise(0)).as("is_pos"),
+        max(when(col("gs").isNotNull, 1).otherwise(0)).as("near"))
+      .withColumn("role",
+        when(col("is_pos") === 1, "pos")
+          .when(col("near") === 1, "hard_neg")
+          .otherwise("easy_neg"))
+    val w = Window.partitionBy(col("docId"), col("sentId"))
+    val uPpm = pmod(graft.ops.TextOps.md5h60(concat_ws("#",
+      col("docId"), col("sentId").cast("string"),
+      col("start").cast("string"), col("end").cast("string"),
+      lit(NegSampleSeed.toString))), lit(1000000L))
+    lab
+      .withColumn("pos_cnt",
+        sum(when(col("role") === "pos", 1L).otherwise(0L)).over(w))
+      .withColumn("easy_cnt",
+        sum(when(col("role") === "easy_neg", 1L).otherwise(0L)).over(w))
+      .filter(col("role") =!= "easy_neg" ||
+        uPpm * col("easy_cnt") >= col("pos_cnt") * lit(1000000L))
+      .select(col("docId"), col("sentId"), col("start"), col("end"),
+        col("role"))
+      .orderBy(col("docId"), col("sentId"), col("start"), col("end"))
+  }
+
   /** Nearest strictly-enclosing mention per mention (J5 semantics,
     * reference data_util.py:437-466) over a genuinely nested mention
     * table (signature strictly contains function/identifier/type_ref).
@@ -182,6 +265,7 @@ object KgQueries {
         .groupBy(col("docId"), col("sentId"))
         .agg(concat_ws("|", array_sort(collect_list(col("m")))).as("line"))
         .orderBy(col("docId"), col("sentId"))),
+    "neg_sample" -> (negSample _),
     "kg_eval" -> ((s, d) => {
       val n = nFilesFor(d)
       val st = Pipeline.run(s, n)
@@ -272,6 +356,52 @@ object KgQueries {
          |    ORDER BY printf('%d,%d %s', "start", "end", entType)) AS line
          |FROM ${gold("mentions")}
          |GROUP BY docId, sentId ORDER BY docId, sentId""".stripMargin,
+    // the full sampler recomputed from CLOSED FORM: universe from the
+    // generator's sentence lengths (never the engine tokenizer), labels
+    // from gold mentions, same integer keep rule. generate_series is
+    // INCLUSIVE of stop (and empty when stop < start) in DuckDB; the
+    // scalar-list unnest form is used because the table-function form
+    // rejects lateral column arguments. The two unnests mirror
+    // spans(n, 16) + the exclusive-end shift exactly.
+    "neg_sample" ->
+      s"""WITH sents AS (SELECT docId, sentId, n
+         |  FROM ${gold("sentences")}),
+         |u1 AS (SELECT docId, sentId, n,
+         |    unnest(generate_series(0, n - 1)) AS s
+         |  FROM sents),
+         |univ AS (SELECT docId, sentId, s AS "start",
+         |    unnest(generate_series(s + 1, least(n, s + 16))) AS "end"
+         |  FROM u1),
+         |pos AS (SELECT DISTINCT docId, sentId, "start", "end"
+         |  FROM ${gold("mentions")}),
+         |lab AS (
+         |  SELECT u.docId, u.sentId, u."start", u."end",
+         |    max(CASE WHEN p."start" = u."start" AND p."end" = u."end"
+         |        THEN 1 ELSE 0 END) AS is_pos,
+         |    max(CASE WHEN p."start" IS NOT NULL THEN 1 ELSE 0 END) AS near
+         |  FROM univ u LEFT JOIN pos p
+         |    ON u.docId = p.docId AND u.sentId = p.sentId
+         |    AND abs(u."start" - p."start") + abs(u."end" - p."end") <= $HardNegDist
+         |  GROUP BY 1, 2, 3, 4),
+         |r AS (SELECT docId, sentId, "start", "end",
+         |    CASE WHEN is_pos = 1 THEN 'pos'
+         |         WHEN near = 1 THEN 'hard_neg'
+         |         ELSE 'easy_neg' END AS role
+         |  FROM lab),
+         |c AS (SELECT *,
+         |    sum(CASE WHEN role = 'pos' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY docId, sentId) AS pos_cnt,
+         |    sum(CASE WHEN role = 'easy_neg' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY docId, sentId) AS easy_cnt
+         |  FROM r)
+         |SELECT docId, sentId, CAST("start" AS INTEGER) AS "start",
+         |  CAST("end" AS INTEGER) AS "end", role
+         |FROM c
+         |WHERE role <> 'easy_neg' OR
+         |  (('0x' || substr(md5(docId || '#' || sentId || '#' || "start"
+         |      || '#' || "end" || '#42'), 1, 15))::BIGINT % 1000000)
+         |    * easy_cnt >= pos_cnt * 1000000
+         |ORDER BY docId, sentId, "start", "end"""".stripMargin,
     // P/R/F1 must be EXACTLY 1.0 against the closed-form gold, with
     // correct == npred == ngold == |gold| — computed from the gold side
     // alone, so a single extra or missing prediction fails the row
