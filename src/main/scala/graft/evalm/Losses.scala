@@ -1,0 +1,256 @@
+package graft.evalm
+
+import graft.core.{SourceFileHashed, TypeDict}
+import graft.extract.Extract
+import graft.kernel.{TriaffineScorer, Weights}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** K11 loss zoo (reference model/losses.py:8-156) re-targeted at the
+  * engine's inference-time job: MONITORING a weight bundle against a
+  * labeled corpus. The reference minimizes these losses to train; an
+  * extraction engine evaluates the same quantities to answer "how
+  * calibrated is bundle W on labeled data D" — e.g. before promoting
+  * an EMA bundle (K13) or accepting a resumed snapshot — so the zoo
+  * earns an inference-time surface without any training loop.
+  *
+  * All losses are computed from the SAME per-span class distribution
+  * the decode argmaxes over ([[TriaffineScorer.classScores]] — exact
+  * decode arithmetic, shared helpers). Implemented: weighted CE,
+  * focal, label-smoothed CE, LDAM, and the two-stage NA-vs-entity
+  * loss. The reference's 'dice' config name is dead code (no DiceLoss
+  * is defined anywhere in the reference — create_loss_function would
+  * NameError on it), so it is deliberately not mirrored.
+  *
+  * The distributed surface emits PER-SPAN rows (pure function of
+  * sentence + cell + bundle — deterministic and order-independent);
+  * the reductions in [[summary]] are one aggregate over them, so the
+  * heavy kernel work parallelizes like the extraction hot path:
+  * factor preparation once per sentence, O(rank^2) per labeled cell.
+  */
+object Losses {
+
+  /** Numerically-stabilized log softmax at one index (the standard
+    * max-shift; matches torch log_softmax semantics). */
+  def logSoftmax(scores: Array[Double], label: Int): Double = {
+    var m = Double.NegativeInfinity
+    var i = 0
+    while (i < scores.length) { if (scores(i) > m) m = scores(i); i += 1 }
+    var z = 0.0
+    i = 0
+    while (i < scores.length) { z += StrictMath.exp(scores(i) - m); i += 1 }
+    scores(label) - m - StrictMath.log(z)
+  }
+
+  /** Cross-entropy -log p_label (losses.py nn.CrossEntropyLoss; class
+    * weights are applied in [[summary]] — the per-span value is the
+    * plain NLL). */
+  def ce(scores: Array[Double], label: Int): Double =
+    -logSoftmax(scores, label)
+
+  /** Focal loss -(1-p)^gamma log p (losses.py FocalLoss.forward;
+    * the per-class alpha is a scalar factor by label, applied in
+    * [[summary]]). */
+  def focal(scores: Array[Double], label: Int, gamma: Double = 2.0): Double = {
+    val lp = logSoftmax(scores, label)
+    -StrictMath.pow(1.0 - StrictMath.exp(lp), gamma) * lp
+  }
+
+  /** Label-smoothed CE (losses.py LabelSmoothCrossEntropyLoss,
+    * weight=None path): true_dist = alpha/(C-1) everywhere except
+    * confidence 1-alpha at the label; loss = -sum(true_dist * logp). */
+  def smoothed(scores: Array[Double], label: Int,
+      alpha: Double = 0.1): Double = {
+    val c = scores.length
+    val off = alpha / (c - 1)
+    var s = 0.0
+    var r = 0
+    while (r < c) {
+      val d = if (r == label) 1.0 - alpha else off
+      s -= d * logSoftmax(scores, r)
+      r += 1
+    }
+    s
+  }
+
+  /** LDAM (losses.py LDAMLoss): subtract the per-class margin at the
+    * target index only, scale all logits by s, then CE. Margins from
+    * class counts: m_c = count_c^(-1/4) rescaled so max(m) = maxM. */
+  def ldamMargins(clsCounts: Array[Long], maxM: Double = 0.5): Array[Double] = {
+    val raw = clsCounts.map(n => 1.0 / StrictMath.pow(math.max(n, 1L).toDouble, 0.25))
+    val mx = raw.max
+    raw.map(_ * maxM / mx)
+  }
+
+  def ldam(scores: Array[Double], label: Int, margins: Array[Double],
+      s: Double = 30.0): Double = {
+    val adj = new Array[Double](scores.length)
+    var r = 0
+    while (r < scores.length) {
+      adj(r) = s * (if (r == label) scores(r) - margins(label) else scores(r))
+      r += 1
+    }
+    ce(adj, label)
+  }
+
+  /** Binary NA-vs-entity term of the two-stage loss (losses.py
+    * TwoLoss): BCE-with-logits on the NA logit against (label == NA),
+    * in the stable max-form torch uses. */
+  def naBce(scores: Array[Double], label: Int, naId: Int): Double = {
+    val x = scores(naId)
+    val y = if (label == naId) 1.0 else 0.0
+    math.max(x, 0.0) - x * y + StrictMath.log1p(StrictMath.exp(-math.abs(x)))
+  }
+
+  /** Entity-class CE over the non-NA logits (TwoLoss's second term;
+    * only defined for entity-labeled cells). */
+  def entCe(scores: Array[Double], label: Int, naId: Int): Double = {
+    require(label != naId, "entCe is defined only for entity cells")
+    ce(scores.take(naId), label)
+  }
+
+  /** Per-cell losses for a labeled span table, distributed.
+    *
+    * `labels`: (docId, sentId, start, end, label) with exclusive end
+    * and label in [0, TypeDict.naId]. Cells are grouped per sentence
+    * relationally and scored in one mapPartitions over the joined
+    * rows — factor preparation runs once per sentence whatever the
+    * cell count (the kernel's Workspace is per-thread, zero
+    * steady-state allocation). Output adds one double column per
+    * loss; every value is a pure function of (sentence, cell, bundle),
+    * so the result is exact under any partitioning. */
+  def spanLosses(files: Dataset[SourceFileHashed], labels: DataFrame,
+      weights: Weights = Weights.default, gamma: Double = 2.0,
+      smoothAlpha: Double = 0.1, ldamM: Array[Double] = null,
+      ldamS: Double = 30.0): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(weights)
+    val naId = TypeDict.naId
+    val margins =
+      if (ldamM != null) ldamM
+      else Array.fill(TypeDict.numTypes + 1)(0.0)
+    val bm = spark.sparkContext.broadcast(margins)
+    val cells = labels
+      .groupBy(col("docId"), col("sentId"))
+      .agg(collect_list(struct(col("start"), col("end"), col("label")))
+        .as("cells"))
+    Extract.sentences(files).toDF()
+      .join(cells, Seq("docId", "sentId"))
+      .select(col("docId"), col("sentId"), col("tokens"), col("pos"),
+        col("ltokens"), col("lpos"), col("rtokens"), col("rpos"),
+        col("cells"))
+      .as[(String, Int, Seq[String], Seq[String], Seq[String], Seq[String],
+        Seq[String], Seq[String], Seq[(Int, Int, Int)])]
+      .mapPartitions { it =>
+        val w = bw.value; val m = bm.value
+        it.flatMap { case (docId, sentId, toks, tags, lt, lg, rt, rg, cs) =>
+          val sc = TriaffineScorer.classScores(toks.toIndexedSeq,
+            tags.toIndexedSeq, lt.toIndexedSeq, lg.toIndexedSeq,
+            rt.toIndexedSeq, rg.toIndexedSeq, w,
+            cs.map(c => (c._1, c._2)))
+          cs.zip(sc).map { case ((s0, e0, lab), v) =>
+            (docId, sentId, s0, e0, lab,
+              ce(v, lab), focal(v, lab, gamma), smoothed(v, lab, smoothAlpha),
+              ldam(v, lab, m, ldamS), naBce(v, lab, naId),
+              if (lab != naId) entCe(v, lab, naId) else 0.0,
+              lab != naId)
+          }
+        }
+      }
+      .toDF("docId", "sentId", "start", "end", "label",
+        "ce", "focal", "smooth", "ldam", "na_bce", "ent_ce", "is_entity")
+  }
+
+  /** The reference's reductions over per-cell rows: weighted-CE mean
+    * (entity weight 1, NA weight naWeight — torch's weighted
+    * CrossEntropyLoss normalizes by the sum of applied weights),
+    * alpha-weighted focal mean, plain means for smooth/ldam, and the
+    * two-stage total binaryWeight * mean(na_bce) + mean(ent_ce over
+    * entity cells). One aggregate; emits a single row. */
+  def summary(perSpan: DataFrame, naWeight: Double = 1.0,
+      focalAlpha: Double = 0.75, binaryWeight: Double = 1.0): DataFrame = {
+    val wCol = when(col("is_entity"), lit(1.0)).otherwise(lit(naWeight))
+    val aCol = when(col("is_entity"), lit(focalAlpha))
+      .otherwise(lit(1.0 - focalAlpha))
+    perSpan.agg(
+      (sum(col("ce") * wCol) / sum(wCol)).as("ce"),
+      avg(col("focal") * aCol).as("focal"),
+      avg(col("smooth")).as("smooth"),
+      avg(col("ldam")).as("ldam"),
+      (lit(binaryWeight) * avg(col("na_bce")) +
+        sum(when(col("is_entity"), col("ent_ce")).otherwise(lit(0.0))) /
+          sum(when(col("is_entity"), lit(1L)).otherwise(lit(0L))))
+        .as("two"))
+  }
+
+  /** Convenience: the reference's actual training-cell set for a
+    * corpus slice — every gold span with its type id plus the K12
+    * negative sample (hard negatives + kept easy negatives) as NA
+    * cells. The monitoring loss of bundle `w` on its own corpus. */
+  def evalCorpus(spark: org.apache.spark.sql.SparkSession, nFiles: Long,
+      weights: Weights = Weights.default): DataFrame = {
+    import spark.implicits._
+    val files = Extract.corpus(spark, nFiles)
+    val gold = graft.Pipeline.goldMentions(spark, nFiles)
+      .select(col("docId"), col("sentId"), col("start"), col("end"),
+        col("entType"))
+      .distinct()
+    val posCells = gold.withColumn("label",
+        element_at(
+          typedLit(TypeDict.types.zipWithIndex.map { case (t, i) => t -> i }.toMap),
+          col("entType")))
+      .select(col("docId"), col("sentId"), col("start"), col("end"),
+        col("label"))
+    // NA cells: spans of the gold grid the sampler kept as negatives.
+    // Reuse the SAME relational sampler the driver grades (neg_sample
+    // semantics) — here fed from gold directly to stay label-faithful.
+    val negCells = negativeCells(spark, nFiles)
+    spanLosses(files, posCells.unionByName(negCells), weights)
+  }
+
+  /** Hard + kept-easy negative cells (K12 semantics over gold labels),
+    * emitted with the NA label. */
+  private def negativeCells(spark: org.apache.spark.sql.SparkSession,
+      nFiles: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.SpanFunctions.register(spark)
+    val sents = graft.Pipeline.goldSentences(spark, nFiles)
+    val universe = sents
+      .selectExpr("docId", "sentId", "spans(n, 16) AS (start, end_incl)")
+      .select(col("docId"), col("sentId"), col("start"),
+        (col("end_incl") + 1).as("end"))
+    val g = graft.Pipeline.goldMentions(spark, nFiles)
+      .select(col("docId").as("gdocId"), col("sentId").as("gsentId"),
+        col("start").as("gs"), col("end").as("ge"))
+      .distinct()
+    val lab = universe.join(g,
+        col("docId") === col("gdocId") && col("sentId") === col("gsentId") &&
+          (abs(col("start") - col("gs")) + abs(col("end") - col("ge"))
+            <= lit(graft.queries.KgQueries.HardNegDist)),
+        "left")
+      .groupBy(col("docId"), col("sentId"), col("start"), col("end"))
+      .agg(
+        max(when(col("gs") === col("start") && col("ge") === col("end"), 1)
+          .otherwise(0)).as("is_pos"),
+        max(when(col("gs").isNotNull, 1).otherwise(0)).as("near"))
+    val w = Window.partitionBy(col("docId"), col("sentId"))
+    val uPpm = pmod(graft.ops.TextOps.md5h60(concat_ws("#",
+      col("docId"), col("sentId").cast("string"),
+      col("start").cast("string"), col("end").cast("string"), lit("42"))),
+      lit(1000000L))
+    // per-sentence counts BEFORE dropping positives (neg_sample
+    // semantics: pos_cnt = positives, easy_cnt = cells outside every
+    // dilation ball — is_pos=1 implies near=1, so near=0 is exactly
+    // the easy set)
+    lab
+      .withColumn("pos_cnt", sum(col("is_pos").cast("long")).over(w))
+      .withColumn("easy_cnt",
+        sum(when(col("near") === 0, 1L).otherwise(0L)).over(w))
+      .filter(col("is_pos") === 0)
+      .filter(col("near") === 1 ||
+        uPpm * col("easy_cnt") >= col("pos_cnt") * lit(1000000L))
+      .select(col("docId"), col("sentId"), col("start"), col("end"),
+        lit(TypeDict.naId).as("label"))
+  }
+}

@@ -366,10 +366,59 @@ object TriaffineScorer extends Serializable {
     scoreFromWorkspace(n, ws, w)
   }
 
+  /** Full per-class score vectors (stage-1 + attention-rescored
+    * stage-2 — the EXACT decode arithmetic, via the same s1Into /
+    * attSpanInto helpers the decode loop runs) for EXPLICIT spans.
+    *
+    * The K11 loss surface (reference model/losses.py:8-156): loss
+    * evaluation of a weight bundle against labeled spans needs the
+    * whole class distribution, not the decoded argmax — the decode
+    * only re-scores its top-k survivors, this scores exactly the
+    * spans asked for. Spans are (start, endExcl) like [[Mention]];
+    * each returned array has nt entries, NA last (TypeDict.naId).
+    * For a span the decode emitted, argmax and max are bit-identical
+    * to the ScoredSpan (asserted in LossSpec). */
+  def classScores(tokens: IndexedSeq[String], tags: IndexedSeq[String],
+      ltokens: IndexedSeq[String], ltags: IndexedSeq[String],
+      rtokens: IndexedSeq[String], rtags: IndexedSeq[String],
+      w: Weights, spans: Seq[(Int, Int)]): IndexedSeq[Array[Double]] = {
+    val n = math.min(tokens.length, MaxN)
+    require(n > 0, "classScores on an empty sentence")
+    val ws = workspace(w)
+    var k = 0
+    while (k < n) {
+      featurize(tokens(k), tags(k), ws.x(k), w)
+      k += 1
+    }
+    poolInto(ltokens, ltags, ws.cp, w)
+    poolInto(rtokens, rtags, ws.cn, w)
+    prepareFactors(n, ws, w)
+    val nt = ws.nt; val rank = w.rank
+    spans.toIndexedSeq.map { case (st, endExcl) =>
+      val i = st; val j = endExcl - 1
+      require(i >= 0 && i <= j && j < n && j - i + 1 <= w.maxSpanLen,
+        s"span ($st, $endExcl) outside the tri-mask for n=$n")
+      val out = new Array[Double](nt)
+      s1Into(i, j, ws, w, out)
+      attSpanInto(i, j, ws, w)
+      var r = 0
+      while (r < nt) {
+        out(r) += w.epsilon * dot(w.w2(r), ws.span, rank)
+        r += 1
+      }
+      out
+    }
+  }
+
   /** Fusion + triaffine cascade over already-filled workspace features
     * (ws.x(0..n), ws.cp, ws.cn). */
-  private def scoreFromWorkspace(n: Int, ws: Workspace,
-      w: Weights): Seq[ScoredSpan] = {
+  /** Fusion + factor preparation over already-filled workspace
+    * features: fills ws.h / fwd / bwd / a / b / c / prefix / headS /
+    * tailS. Shared verbatim by the decode cascade and
+    * [[classScores]] — pure code motion out of the former
+    * scoreFromWorkspace body, so the arithmetic (and the frozen
+    * golden scores) are untouched. */
+  private def prepareFactors(n: Int, ws: Workspace, w: Weights): Unit = {
     val nt = ws.nt
     val rank = w.rank
     // fusion h_k = [x_{k-1}; x_k; x_{k+1}; ctxPrev; ctxNext; f_k; g_k]
@@ -539,6 +588,94 @@ object TriaffineScorer extends Serializable {
       }
       r += 1
     }
+  }
+
+  /** Stage-1 class scores for span (i, j) INCLUSIVE j, written into
+    * `out` (length nt); returns the best non-NA score (the top-k
+    * selection key). Exact arithmetic of the decode loop — shared
+    * verbatim with [[classScores]]. */
+  private def s1Into(i: Int, j: Int, ws: Workspace, w: Weights,
+      out: Array[Double]): Double = {
+    val rank = w.rank; val nt = ws.nt
+    val len = j - i + 1
+    var tri = 0.0
+    val pj = ws.prefix(j + 1); val pi = ws.prefix(i)
+    val ai = ws.a(i); val bj = ws.b(j)
+    var u = 0
+    while (u < rank) {
+      val au = ai(u)
+      var v = 0
+      while (v < rank) {
+        tri += au * (pj(u * rank + v) - pi(u * rank + v)) * bj(v)
+        v += 1
+      }
+      u += 1
+    }
+    tri = tri / len * w.epsilon
+    // biaffine head-tail interaction (K9 aux scorer, reference
+    // parser.py:84-148): low-rank a_i·b_j, per-type weighted
+    val bi = dot(ai, bj, rank) * w.epsilon
+    var best = Double.NegativeInfinity
+    var r = 0
+    while (r < nt) {
+      var s = 0.0
+      if (r == nt - 1) s = 0.0 + tri // NA baseline
+      else {
+        s = w.bias(r) + ws.headS(r)(i) + ws.tailS(r)(j) + tri +
+          bi * w.wBi(r) + w.wLen(r) * (j - i) +
+          (if (i == j) w.wSingle(r) else w.wMulti(r))
+        if (s > best) best = s
+      }
+      out(r) = s
+      r += 1
+    }
+    best
+  }
+
+  /** Attention-pooled stage-2 span vector for (si, sj) INCLUSIVE sj,
+    * written into ws.span: masked softmax over inside tokens
+    * z ∈ [x, y] (cells outside the span are excluded by construction —
+    * the reference masks them to -1e6 before the softmax,
+    * parser.py:520-525) of att_z = (a_x·c_z)(c_z·b_y), then
+    * h_span = Σ_z alpha_z c_z (the reference's span_att_v2.py:372).
+    * Shared verbatim by the decode rescoring and [[classScores]]. */
+  private def attSpanInto(si: Int, sj: Int, ws: Workspace,
+      w: Weights): Unit = {
+    val rank = w.rank
+    val len = sj - si + 1
+    val ai = ws.a(si); val bj = ws.b(sj)
+    var maxA = Double.NegativeInfinity
+    var kk = si
+    while (kk <= sj) {
+      val ck = ws.c(kk)
+      val av = dot(ai, ck, rank) * dot(ck, bj, rank)
+      ws.att(kk - si) = av
+      if (av > maxA) maxA = av
+      kk += 1
+    }
+    var denom = 0.0
+    kk = 0
+    while (kk < len) {
+      val e = StrictMath.exp(ws.att(kk) - maxA)
+      ws.att(kk) = e; denom += e
+      kk += 1
+    }
+    val span = ws.span
+    var u = 0
+    while (u < rank) {
+      var acc = 0.0
+      kk = 0
+      while (kk < len) { acc += ws.att(kk) * ws.c(si + kk)(u); kk += 1 }
+      span(u) = acc / denom
+      u += 1
+    }
+  }
+
+  private def scoreFromWorkspace(n: Int, ws: Workspace,
+      w: Weights): Seq[ScoredSpan] = {
+    val nt = ws.nt
+    val rank = w.rank
+    prepareFactors(n, ws, w)
 
     // stage 1 + streaming top-k selection (k small: insertion keeps the
     // selection sorted by (score desc, i asc, j asc); iteration order is
@@ -550,39 +687,8 @@ object TriaffineScorer extends Serializable {
       var j = i
       val jMax = math.min(n - 1, i + w.maxSpanLen - 1)
       while (j <= jMax) {
-        val len = j - i + 1
-        var tri = 0.0
-        val pj = ws.prefix(j + 1); val pi = ws.prefix(i)
-        val ai = ws.a(i); val bj = ws.b(j)
-        var u = 0
-        while (u < rank) {
-          val au = ai(u)
-          var v = 0
-          while (v < rank) {
-            tri += au * (pj(u * rank + v) - pi(u * rank + v)) * bj(v)
-            v += 1
-          }
-          u += 1
-        }
-        tri = tri / len * w.epsilon
-        // biaffine head-tail interaction (K9 aux scorer, reference
-        // parser.py:84-148): low-rank a_i·b_j, per-type weighted
-        val bi = dot(ai, bj, rank) * w.epsilon
         val s1 = ws.s1tmp
-        var best = Double.NegativeInfinity
-        r = 0
-        while (r < nt) {
-          var s = 0.0
-          if (r == nt - 1) s = 0.0 + tri // NA baseline
-          else {
-            s = w.bias(r) + ws.headS(r)(i) + ws.tailS(r)(j) + tri +
-              bi * w.wBi(r) + w.wLen(r) * (j - i) +
-              (if (i == j) w.wSingle(r) else w.wMulti(r))
-            if (s > best) best = s
-          }
-          s1(r) = s
-          r += 1
-        }
+        val best = s1Into(i, j, ws, w, s1)
         // streaming top-k insert (strict > against the current worst)
         if (selN < ws.kBest || best > ws.selScore(selN - 1)) {
           var pos = selN
@@ -619,37 +725,12 @@ object TriaffineScorer extends Serializable {
     var s = 0
     while (s < selN) {
       val si = ws.selI(s); val sj = ws.selJ(s)
-      val len = sj - si + 1
-      val ai = ws.a(si); val bj = ws.b(sj)
-      var maxA = Double.NegativeInfinity
-      var kk = si
-      while (kk <= sj) {
-        val ck = ws.c(kk)
-        val av = dot(ai, ck, rank) * dot(ck, bj, rank)
-        ws.att(kk - si) = av
-        if (av > maxA) maxA = av
-        kk += 1
-      }
-      var denom = 0.0
-      kk = 0
-      while (kk < len) {
-        val e = StrictMath.exp(ws.att(kk) - maxA)
-        ws.att(kk) = e; denom += e
-        kk += 1
-      }
+      attSpanInto(si, sj, ws, w)
       val span = ws.span
-      var u = 0
-      while (u < rank) {
-        var acc = 0.0
-        kk = 0
-        while (kk < len) { acc += ws.att(kk) * ws.c(si + kk)(u); kk += 1 }
-        span(u) = acc / denom
-        u += 1
-      }
       val s1 = ws.selS1(s)
       var bestR = nt - 1
       var bestS = s1(nt - 1) + w.epsilon * dot(w.w2(nt - 1), span, rank)
-      r = 0
+      var r = 0
       while (r < nt - 1) {
         val s2 = s1(r) + w.epsilon * dot(w.w2(r), span, rank)
         if (s2 > bestS) { bestS = s2; bestR = r }
