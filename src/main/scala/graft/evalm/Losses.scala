@@ -220,20 +220,24 @@ object Losses {
       .selectExpr("docId", "sentId", "spans(n, 16) AS (start, end_incl)")
       .select(col("docId"), col("sentId"), col("start"),
         (col("end_incl") + 1).as("end"))
+    // per-sentence gold array + exists() predicates — same single
+    // universe shuffle story as the neg_sample query (KgQueries)
     val g = graft.Pipeline.goldMentions(spark, nFiles)
-      .select(col("docId").as("gdocId"), col("sentId").as("gsentId"),
-        col("start").as("gs"), col("end").as("ge"))
-      .distinct()
-    val lab = universe.join(g,
-        col("docId") === col("gdocId") && col("sentId") === col("gsentId") &&
-          (abs(col("start") - col("gs")) + abs(col("end") - col("ge"))
-            <= lit(graft.queries.KgQueries.HardNegDist)),
-        "left")
-      .groupBy(col("docId"), col("sentId"), col("start"), col("end"))
-      .agg(
-        max(when(col("gs") === col("start") && col("ge") === col("end"), 1)
-          .otherwise(0)).as("is_pos"),
-        max(when(col("gs").isNotNull, 1).otherwise(0)).as("near"))
+      .select(col("docId"), col("sentId"), col("start").as("gs"),
+        col("end").as("ge"))
+      .groupBy(col("docId"), col("sentId"))
+      .agg(collect_set(struct(col("gs"), col("ge"))).as("golds"))
+    val lab = universe.join(g, Seq("docId", "sentId"), "left")
+      .withColumn("is_pos", when(coalesce(exists(col("golds"), gg =>
+          gg.getField("gs") === col("start") &&
+            gg.getField("ge") === col("end")), lit(false)), 1).otherwise(0))
+      .withColumn("near", when(coalesce(exists(col("golds"), gg =>
+          abs(col("start") - gg.getField("gs")) +
+            abs(col("end") - gg.getField("ge"))
+            <= lit(graft.queries.KgQueries.HardNegDist)), lit(false)), 1)
+        .otherwise(0))
+      .select(col("docId"), col("sentId"), col("start"), col("end"),
+        col("is_pos"), col("near"))
     val w = Window.partitionBy(col("docId"), col("sentId"))
     val uPpm = pmod(graft.ops.TextOps.md5h60(concat_ws("#",
       col("docId"), col("sentId").cast("string"),

@@ -66,9 +66,18 @@ object KgQueries {
     *
     * Spans are exclusive-end like gold mentions; the span grid comes
     * from the native spans() Generator (F6) with the kernel's
-    * maxSpanLen=16 tri-mask bound. One equi-join on (docId, sentId)
-    * with the band residual + one groupBy on the span key + one
-    * partitioned window — no cross join, no driver loop. */
+    * maxSpanLen=16 tri-mask bound.
+    *
+    * Plan shape (the 100 TB story): gold spans are pre-grouped into a
+    * per-sentence ARRAY (bounded — the grammar caps mentions per
+    * line), so the label join is a plain equi-join on (docId, sentId)
+    * with exists() predicates over the array instead of a
+    * row-multiplying band join + re-grouping. The span universe (~40x
+    * the sentence count, the big table here) is therefore shuffled at
+    * most ONCE: never for a small broadcast label side, and exactly
+    * once — reused by the count windows, whose (docId, sentId) keys
+    * match the join key — when the label side is too big to
+    * broadcast. */
   private def negSample(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = negSampleFiles(d)
@@ -80,25 +89,31 @@ object KgQueries {
       .select(col("docId"), col("sentId"), col("start"),
         (col("end_incl") + 1).as("end"))
     // the label input: the engine's own extraction (distinct spans —
-    // a cell is positive whatever type(s) it carries, span_utils.py:20)
+    // a cell is positive whatever type(s) it carries, span_utils.py:20),
+    // one bounded array per sentence
+    // collect_set dedups spans INSIDE the one aggregation (a cell is
+    // positive whatever type(s) it carries), so the label side pays a
+    // single exchange, not distinct + regroup
     val g = Extract.run(s, n).toDF()
-      .select(col("docId").as("gdocId"), col("sentId").as("gsentId"),
-        col("start").as("gs"), col("end").as("ge"))
-      .distinct()
-    val lab = universe.join(g,
-        col("docId") === col("gdocId") && col("sentId") === col("gsentId") &&
-          (abs(col("start") - col("gs")) + abs(col("end") - col("ge"))
-            <= lit(HardNegDist)),
-        "left")
-      .groupBy(col("docId"), col("sentId"), col("start"), col("end"))
-      .agg(
-        max(when(col("gs") === col("start") && col("ge") === col("end"), 1)
-          .otherwise(0)).as("is_pos"),
-        max(when(col("gs").isNotNull, 1).otherwise(0)).as("near"))
+      .select(col("docId"), col("sentId"), col("start").as("gs"),
+        col("end").as("ge"))
+      .groupBy(col("docId"), col("sentId"))
+      .agg(collect_set(struct(col("gs"), col("ge"))).as("golds"))
+    val lab = universe.join(g, Seq("docId", "sentId"), "left")
+      .withColumn("is_pos", when(coalesce(exists(col("golds"), gg =>
+          gg.getField("gs") === col("start") &&
+            gg.getField("ge") === col("end")), lit(false)), 1).otherwise(0))
+      .withColumn("near", when(coalesce(exists(col("golds"), gg =>
+          abs(col("start") - gg.getField("gs")) +
+            abs(col("end") - gg.getField("ge")) <= lit(HardNegDist)),
+          lit(false)), 1).otherwise(0))
       .withColumn("role",
         when(col("is_pos") === 1, "pos")
           .when(col("near") === 1, "hard_neg")
           .otherwise("easy_neg"))
+      // slim the window shuffle: the gold array and flags are spent
+      .select(col("docId"), col("sentId"), col("start"), col("end"),
+        col("role"))
     val w = Window.partitionBy(col("docId"), col("sentId"))
     val uPpm = pmod(graft.ops.TextOps.md5h60(concat_ws("#",
       col("docId"), col("sentId").cast("string"),

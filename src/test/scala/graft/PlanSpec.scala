@@ -168,6 +168,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("neg_sample never shuffles the span grid on span keys") {
+    val df = graft.queries.KgQueries.all("neg_sample")(spark, dir)
+    df.collect() // finalize AQE before reading the executed plan
+    val p = plan(df)
+    // the span universe is ~40x the sentence count — the big table of
+    // this query. With the per-sentence gold-array join + exists()
+    // labeling, every hash exchange is on (docId, sentId) only; a
+    // hashpartitioning that carries the span start column would mean
+    // the grid is re-shuffled per span cell (the band-join +
+    // 4-column-regroup shape this plan replaced), paying ~40x the
+    // bytes at scale
+    assert("Exchange hashpartitioning\\([^)]*start".r.findFirstIn(p).isEmpty,
+      s"span-key shuffle found in:\n${p.take(3000)}")
+  }
+
   test("warm cache re-score is shuffle-free (one narrow scan to mentions)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("enc-plan").toString
