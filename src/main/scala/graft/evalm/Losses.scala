@@ -179,8 +179,12 @@ object Losses {
       avg(col("smooth")).as("smooth"),
       avg(col("ldam")).as("ldam"),
       (lit(binaryWeight) * avg(col("na_bce")) +
-        sum(when(col("is_entity"), col("ent_ce")).otherwise(lit(0.0))) /
-          sum(when(col("is_entity"), lit(1L)).otherwise(lit(0L))))
+        // no entity cells -> the label term is 0.0, like TwoLoss
+        coalesce(
+          sum(when(col("is_entity"), col("ent_ce")).otherwise(lit(0.0))) /
+            nullif(sum(when(col("is_entity"), lit(1L)).otherwise(lit(0L))),
+              lit(0L)),
+          lit(0.0)))
         .as("two"))
   }
 

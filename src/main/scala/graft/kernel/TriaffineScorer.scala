@@ -212,7 +212,7 @@ object TriaffineScorer extends Serializable {
     * is the per-word char-encoder last-state gather (K3/A8, reference
     * text_encoder.py:258-271) as a fixed-decay recurrence
     * s_c = decay*s_{c-1} + charEmbed(c). Deterministic across JVMs. */
-  private def tokenVec(tok: String, w: Weights): Array[Double] = {
+  private[kernel] def tokenVec(tok: String, w: Weights): Array[Double] = {
     val cache = embedCacheFor(w)
     var v = cache.get(tok)
     if (v == null) {
@@ -261,7 +261,7 @@ object TriaffineScorer extends Serializable {
 
   /** Fill one per-token feature vector
     * [tag one-hot ; word-hash ; char-recurrence]. */
-  private def featurize(tok: String, tag: String, out: Array[Double],
+  private[kernel] def featurize(tok: String, tag: String, out: Array[Double],
       w: Weights): Unit = {
     java.util.Arrays.fill(out, 0.0)
     out(w.tagIdx.getOrElse(tag, w.tagIdx(Weights.PadTag))) = 1.0

@@ -104,6 +104,8 @@ class LossSpec extends SparkSpec {
             assert(r.getDouble(5) == Losses.ce(v, lab))
             assert(r.getDouble(6) == Losses.focal(v, lab))
             assert(r.getDouble(7) == Losses.smoothed(v, lab))
+            assert(r.getDouble(8) == Losses.ldam(v, lab,
+              Array.fill(v.length)(0.0), s = 30.0))
             assert(r.getDouble(9) == Losses.naBce(v, lab, TypeDict.naId))
             if (lab != TypeDict.naId) {
               assert(r.getDouble(10) == Losses.entCe(v, lab, TypeDict.naId))
