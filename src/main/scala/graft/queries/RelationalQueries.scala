@@ -393,9 +393,24 @@ object RelationalQueries {
       .orderBy(col("name"))
   }
 
+  // F14 — index-scatter add (ref span_utils.py:50-64): sum a value
+  // column into the cells of a dense 2-dim tensor (linenumber x
+  // orderkey-bucket) via the reference's row-major flat index; the
+  // groupBy's map-side partial aggregation IS the scatter combine.
+  // l_quantity is integral-valued in TPC-H, cast to BIGINT so the sum
+  // is integer-exact cross-engine.
+  private val scatterAddQ: Q = (s, d) =>
+    graft.ops.ScatterAdd.scatterAdd(
+      t(s, d, "lineitem"),
+      Seq((col("l_linenumber"), 8),
+        (pmod(col("l_orderkey"), lit(100)), 100)),
+      col("l_quantity").cast("long"))
+      .orderBy(col("flat_idx"))
+
   val all: Map[String, Q] = Map(
     "span_enum_gen" -> spanEnumGen,
     "bundle_name" -> bundleName,
+    "scatter_add" -> scatterAddQ,
     "json_extract" -> jsonExtract,
     "anti_join" -> antiJoin,
     "first_subword" -> firstSubword,
@@ -477,6 +492,13 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "span_enum_gen" -> spanEnumOracle,
     "bundle_name" -> bundleNameOracle,
+    // F14 mirror: same row-major coefficients (100 = trailing-dim
+    // size), HUGEINT sum cast back to BIGINT for the dtype compare
+    "scatter_add" ->
+      """SELECT CAST(l_linenumber * 100 + l_orderkey % 100 AS BIGINT)
+        |    AS flat_idx,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
