@@ -58,19 +58,25 @@ object Losses {
 
   /** Label-smoothed CE (losses.py LabelSmoothCrossEntropyLoss,
     * weight=None path): true_dist = alpha/(C-1) everywhere except
-    * confidence 1-alpha at the label; loss = -sum(true_dist * logp). */
+    * confidence 1-alpha at the label; loss = -sum(true_dist * logp).
+    * Since sum(true_dist) = 1 this is logZ - sum(true_dist * scores)
+    * — one normalization pass, not one per class. */
   def smoothed(scores: Array[Double], label: Int,
       alpha: Double = 0.1): Double = {
     val c = scores.length
     val off = alpha / (c - 1)
-    var s = 0.0
-    var r = 0
-    while (r < c) {
-      val d = if (r == label) 1.0 - alpha else off
-      s -= d * logSoftmax(scores, r)
-      r += 1
+    var m = Double.NegativeInfinity
+    var i = 0
+    while (i < c) { if (scores(i) > m) m = scores(i); i += 1 }
+    var z = 0.0
+    var ds = 0.0
+    i = 0
+    while (i < c) {
+      z += StrictMath.exp(scores(i) - m)
+      ds += (if (i == label) 1.0 - alpha else off) * scores(i)
+      i += 1
     }
-    s
+    m + StrictMath.log(z) - ds
   }
 
   /** LDAM (losses.py LDAMLoss): subtract the per-class margin at the
@@ -191,74 +197,32 @@ object Losses {
   /** Convenience: the reference's actual training-cell set for a
     * corpus slice — every gold span with its type id plus the K12
     * negative sample (hard negatives + kept easy negatives) as NA
-    * cells. The monitoring loss of bundle `w` on its own corpus. */
+    * cells, produced by THE shared sampler core
+    * ([[graft.queries.KgQueries.sampleCells]] — the same code the
+    * driver grades, so the monitoring cell set cannot drift from it;
+    * here fed from the closed-form gold to stay label-faithful). The
+    * monitoring loss of bundle `w` on its own corpus. */
   def evalCorpus(spark: org.apache.spark.sql.SparkSession, nFiles: Long,
       weights: Weights = Weights.default): DataFrame = {
-    import spark.implicits._
     val files = Extract.corpus(spark, nFiles)
     val gold = graft.Pipeline.goldMentions(spark, nFiles)
       .select(col("docId"), col("sentId"), col("start"), col("end"),
         col("entType"))
       .distinct()
-    val posCells = gold.withColumn("label",
-        element_at(
-          typedLit(TypeDict.types.zipWithIndex.map { case (t, i) => t -> i }.toMap),
-          col("entType")))
+      // gold is read by both the positive cells and the sampler —
+      // materialize once instead of re-running the generator twice
+      .localCheckpoint()
+    val posCells = gold
+      .withColumn("label",
+        element_at(typedLit(TypeDict.typeToId), col("entType")))
       .select(col("docId"), col("sentId"), col("start"), col("end"),
         col("label"))
-    // NA cells: spans of the gold grid the sampler kept as negatives.
-    // Reuse the SAME relational sampler the driver grades (neg_sample
-    // semantics) — here fed from gold directly to stay label-faithful.
-    val negCells = negativeCells(spark, nFiles)
-    spanLosses(files, posCells.unionByName(negCells), weights)
-  }
-
-  /** Hard + kept-easy negative cells (K12 semantics over gold labels),
-    * emitted with the NA label. */
-  private def negativeCells(spark: org.apache.spark.sql.SparkSession,
-      nFiles: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.SpanFunctions.register(spark)
-    val sents = graft.Pipeline.goldSentences(spark, nFiles)
-    val universe = sents
-      .selectExpr("docId", "sentId", "spans(n, 16) AS (start, end_incl)")
-      .select(col("docId"), col("sentId"), col("start"),
-        (col("end_incl") + 1).as("end"))
-    // per-sentence gold array + exists() predicates — same single
-    // universe shuffle story as the neg_sample query (KgQueries)
-    val g = graft.Pipeline.goldMentions(spark, nFiles)
-      .select(col("docId"), col("sentId"), col("start").as("gs"),
-        col("end").as("ge"))
-      .groupBy(col("docId"), col("sentId"))
-      .agg(collect_set(struct(col("gs"), col("ge"))).as("golds"))
-    val lab = universe.join(g, Seq("docId", "sentId"), "left")
-      .withColumn("is_pos", when(coalesce(exists(col("golds"), gg =>
-          gg.getField("gs") === col("start") &&
-            gg.getField("ge") === col("end")), lit(false)), 1).otherwise(0))
-      .withColumn("near", when(coalesce(exists(col("golds"), gg =>
-          abs(col("start") - gg.getField("gs")) +
-            abs(col("end") - gg.getField("ge"))
-            <= lit(graft.queries.KgQueries.HardNegDist)), lit(false)), 1)
-        .otherwise(0))
-      .select(col("docId"), col("sentId"), col("start"), col("end"),
-        col("is_pos"), col("near"))
-    val w = Window.partitionBy(col("docId"), col("sentId"))
-    val uPpm = pmod(graft.ops.TextOps.md5h60(concat_ws("#",
-      col("docId"), col("sentId").cast("string"),
-      col("start").cast("string"), col("end").cast("string"), lit("42"))),
-      lit(1000000L))
-    // per-sentence counts BEFORE dropping positives (neg_sample
-    // semantics: pos_cnt = positives, easy_cnt = cells outside every
-    // dilation ball — is_pos=1 implies near=1, so near=0 is exactly
-    // the easy set)
-    lab
-      .withColumn("pos_cnt", sum(col("is_pos").cast("long")).over(w))
-      .withColumn("easy_cnt",
-        sum(when(col("near") === 0, 1L).otherwise(0L)).over(w))
-      .filter(col("is_pos") === 0)
-      .filter(col("near") === 1 ||
-        uPpm * col("easy_cnt") >= col("pos_cnt") * lit(1000000L))
+    val negCells = graft.queries.KgQueries.sampleCells(
+        graft.Pipeline.goldSentences(spark, nFiles),
+        gold.select(col("docId"), col("sentId"), col("start"), col("end")))
+      .filter(col("role") =!= "pos")
       .select(col("docId"), col("sentId"), col("start"), col("end"),
         lit(TypeDict.naId).as("label"))
+    spanLosses(files, posCells.unionByName(negCells), weights)
   }
 }

@@ -261,7 +261,7 @@ object TriaffineScorer extends Serializable {
 
   /** Fill one per-token feature vector
     * [tag one-hot ; word-hash ; char-recurrence]. */
-  private[kernel] def featurize(tok: String, tag: String, out: Array[Double],
+  private def featurize(tok: String, tag: String, out: Array[Double],
       w: Weights): Unit = {
     java.util.Arrays.fill(out, 0.0)
     out(w.tagIdx.getOrElse(tag, w.tagIdx(Weights.PadTag))) = 1.0

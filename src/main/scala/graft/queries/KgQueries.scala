@@ -79,22 +79,33 @@ object KgQueries {
     * match the join key — when the label side is too big to
     * broadcast. */
   private def negSample(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = negSampleFiles(d)
-    graft.functions.SpanFunctions.register(s)
     val sents = Extract.sentences(Extract.corpus(s, n))
       .select(col("docId"), col("sentId"), size(col("tokens")).as("n"))
+    // the label input: the engine's own extraction
+    val positives = Extract.run(s, n).toDF()
+      .select(col("docId"), col("sentId"), col("start"), col("end"))
+    sampleCells(sents, positives)
+      .orderBy(col("docId"), col("sentId"), col("start"), col("end"))
+  }
+
+  /** THE K12 sampler core, shared by the driver-graded query above
+    * (positives = engine extraction) and the loss-monitoring cell set
+    * ([[graft.evalm.Losses]], positives = closed-form gold) so the two
+    * surfaces cannot drift. `sents` = (docId, sentId, n);
+    * `positives` = (docId, sentId, start, end), duplicates allowed (a
+    * cell is positive whatever type(s) it carries — collect_set dedups
+    * inside the single label-side aggregation, span_utils.py:20).
+    * Returns every kept cell with its role. */
+  def sampleCells(sents: DataFrame, positives: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sents.sparkSession
+    graft.functions.SpanFunctions.register(s)
     val universe = sents
       .selectExpr("docId", "sentId", "spans(n, 16) AS (start, end_incl)")
       .select(col("docId"), col("sentId"), col("start"),
         (col("end_incl") + 1).as("end"))
-    // the label input: the engine's own extraction (distinct spans —
-    // a cell is positive whatever type(s) it carries, span_utils.py:20),
-    // one bounded array per sentence
-    // collect_set dedups spans INSIDE the one aggregation (a cell is
-    // positive whatever type(s) it carries), so the label side pays a
-    // single exchange, not distinct + regroup
-    val g = Extract.run(s, n).toDF()
+    val g = positives
       .select(col("docId"), col("sentId"), col("start").as("gs"),
         col("end").as("ge"))
       .groupBy(col("docId"), col("sentId"))
@@ -128,7 +139,6 @@ object KgQueries {
         uPpm * col("easy_cnt") >= col("pos_cnt") * lit(1000000L))
       .select(col("docId"), col("sentId"), col("start"), col("end"),
         col("role"))
-      .orderBy(col("docId"), col("sentId"), col("start"), col("end"))
   }
 
   /** Nearest strictly-enclosing mention per mention (J5 semantics,
