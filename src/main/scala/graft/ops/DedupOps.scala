@@ -15,24 +15,30 @@ import org.apache.spark.sql.functions._
   *    frequency cut (`dfCut`) BEFORE the self-join — without it one hot
   *    shingle produces a quadratic candidate set at 100 TB. Verification
   *    is always exact over the full postings.
-  *  - minhash: signatures are one groupBy over exploded shingles
-  *    (16 mins computed as one aggregate pass); LSH bands turn the
-  *    quadratic verification into an equi-join on (band, signature) —
-  *    the classic sub-quadratic near-dup path at web scale.
+  *  - minhash: signatures are NARROW per-row array ops (`array_min`
+  *    over the doc's hashed shingle array) — ZERO shuffle; the only
+  *    shuffle in the whole operator is the band-bucket equi-join,
+  *    which carries 4 short rows per document. Verification joins the
+  *    candidate id pairs back to the document table (AQE broadcasts
+  *    the small candidate side) and computes exact Jaccard with
+  *    `array_intersect` on the distinct-shingle arrays. No posting
+  *    table, no df-cut: hot shingles cannot explode a band join, and
+  *    the min-aggregate absorbs them — the df-cut is an inverted-index
+  *    concern (see jaccard above), not a signature concern.
   *  - simhash: one 64->16-bit signature per doc; banding on the top
   *    bits, verify by hamming distance (bit_count(xor)).
   *
   * All hash arithmetic is the portable md5-60bit + modular family
   * (a_i*x + b_i mod p) so the DuckDB oracles replicate results exactly.
   *
-  * Caching contract: the pair functions `cache()` their shared posting
-  * table (read by both the candidate and verification branches) and
-  * return a LAZY DataFrame, so they cannot unpersist it themselves —
-  * the CALLER owns cleanup (`spark.catalog.clearCache()` between
-  * unrelated queries, as Verify and Bench do). cache() is chosen over
+  * Caching contract: `jaccardPairs` (the one operator whose candidate
+  * and verification branches share a posting table) `cache()`s it and
+  * returns a LAZY DataFrame, so it cannot unpersist it itself — the
+  * CALLER owns cleanup (`spark.catalog.clearCache()` between unrelated
+  * queries, as Verify and Bench do). cache() is chosen over
   * localCheckpoint deliberately: cached blocks are recomputable on
   * executor loss, a checkpoint's lineage cut is not — the right trade
-  * on a real cluster.
+  * on a real cluster. minhash/simhash build no posting table at all.
   */
 object DedupOps {
 
@@ -105,23 +111,25 @@ object DedupOps {
     verifyJaccard(jaccardCandidates(dfCut(sh, maxDf)), sh, threshold)
   }
 
-  /** MinHash signature columns mh0..mh15 from a posting table
-    * (single agg pass). */
-  def minhashSignaturesFromPostings(sh: DataFrame): DataFrame = {
-    // hash ONCE per posting row in a projection BEFORE the aggregate:
-    // md5 inlined into each of the 16 min-aggs would be evaluated 16x
-    // per row (no cross-aggregate subexpression elimination)
-    val withX = sh.select(col("doc"),
-      pmod(md5h60(col("ng")), lit(P30)).as("x"))
-    val aggs = (0 until NumHashes).map { i =>
-      min((col("x") * (2 * i + 1) + (97 + 31 * i)) % PMOD).as(s"mh$i")
-    }
-    withX.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
-  }
-
+  /** MinHash signature columns mh0..mh15, computed NARROW: each doc's
+    * shingles are hashed into an array column once (`md5h60` evaluated
+    * once per shingle), then each mh_i is an `array_min` over a
+    * per-row `transform` — no explode, no groupBy, no shuffle. At web
+    * scale this removes the operator's dominant shuffle (the posting
+    * explode is ~100x the document bytes). Docs with no shingle
+    * (< n tokens) get no signature row, matching the posting-table
+    * formulation where they produce no postings. */
   def minhashSignatures(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    minhashSignaturesFromPostings(shingles(docs, idCol, textCol))
+      textCol: String, n: Int = 3): DataFrame = {
+    val xs = transform(ngrams(col(textCol), n),
+      ng => pmod(md5h60(ng), lit(P30)))
+    docs.select(col(idCol).as("doc"), xs.as("xs"))
+      .filter(size(col("xs")) > 0)
+      .select(col("doc") +: (0 until NumHashes).map { i =>
+        array_min(transform(col("xs"),
+          x => (x * (2 * i + 1) + (97 + 31 * i)) % PMOD)).as(s"mh$i")
+      }: _*)
+  }
 
   /** LSH band rows (doc, band, sig) from signatures. */
   def lshBands(sigs: DataFrame): DataFrame =
@@ -133,42 +141,71 @@ object DedupOps {
       }: _*)).as("bs"))
       .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
-  /** MinHash LSH near-dup pairs: band -> candidate equi-join -> exact
-    * Jaccard verification of candidates only. ONE posting table is
-    * computed and cached for both the signatures and the verification
-    * pass (round-1 computed the shingle explode twice — it was 31% of
-    * the whole benchmark). Signatures are minhashed over the df-cut
-    * postings; verification uses the full postings. */
+  /** Exact-Jaccard verification of candidate id pairs directly against
+    * the document table: each side joins back to its distinct-shingle
+    * array (AQE broadcasts the small candidate side, so the big doc
+    * table is never shuffled), then Jaccard is a narrow
+    * `array_intersect` — |A∩B| / (|A|+|B|-|A∩B|) over distinct
+    * shingles, identical arithmetic to the posting-count formulation. */
+  private def verifyJaccardArrays(cands: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      n: Int = 3): DataFrame = {
+    val arr = docs.select(col(idCol).as("doc"),
+      ngrams(col(textCol), n).as("ngs"))
+    cands
+      .join(arr.as("g1"), col("d1") === col("g1.doc"))
+      .join(arr.as("g2"), col("d2") === col("g2.doc"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("g1.ngs"), col("g2.ngs"))).as("c"),
+        size(col("g1.ngs")).as("n1"), size(col("g2.ngs")).as("n2"))
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") /
+          (col("n1") + col("n2") - col("c")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash LSH near-dup pairs: narrow signatures -> band-bucket
+    * equi-join (the ONLY shuffle, 4 short rows per doc) -> exact
+    * Jaccard verification of the candidate id pairs via array
+    * intersection against the doc table. Rounds 1-3 built a cached
+    * posting table and df-cut it before the signature groupBy; the
+    * narrow formulation needs neither — signature min-aggs absorb hot
+    * shingles, and a band join cannot explode on them. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
-    val sh = shingles(docs, idCol, textCol).cache()
-    val sigs = minhashSignaturesFromPostings(dfCut(sh, maxDf))
-    val bandRows = lshBands(sigs)
+      threshold: Double): DataFrame = {
+    val bandRows = lshBands(minhashSignatures(docs, idCol, textCol))
     val cands = bandRows.as("a").join(bandRows.as("b"),
       col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
-    verifyJaccard(cands, sh, threshold)
+    verifyJaccardArrays(cands, docs, idCol, textCol, threshold)
   }
 
-  /** 32-bit SimHash per doc from distinct-token 60-bit hashes. */
+  /** 32-bit SimHash per doc from distinct-token 60-bit hashes,
+    * computed NARROW: tokens are hashed into an array column once,
+    * then bit k of the signature is set iff strictly more token hashes
+    * have bit k set than unset — `2*countSet > n`, the same predicate
+    * as the classic `sum(±1) > 0` but as a per-row `aggregate` over
+    * the array instead of an explode + groupBy shuffle. Docs with no
+    * non-empty token get no row (the grouped formulation had no group
+    * for them). */
   def simhashSignatures(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    // hash once per token row (see minhashSignaturesFromPostings)
-    val tok = docs.select(col(idCol).as("doc"),
-      explode(array_distinct(TextOps.words(col(textCol)))).as("w"))
-      .filter(length(col("w")) > 0)
-      .select(col("doc"), md5h60(col("w")).as("h"))
-    val bitSums = (0 until 32).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$k")
-    }
-    tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+    // hash once per distinct token into an array (md5 inlined into the
+    // 32 per-bit aggregates would be evaluated 32x per token)
+    val xs = transform(
+      filter(array_distinct(TextOps.words(col(textCol))),
+        w => length(w) > 0),
+      w => md5h60(w))
+    docs.select(col(idCol).as("doc"), xs.as("xs"))
+      .filter(size(col("xs")) > 0)
       .select(col("doc"),
-        (0 until 32).map(k =>
-          when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        (0 until 32).map { k =>
+          val cnt = aggregate(col("xs"), lit(0),
+            (acc, x) => acc + shiftright(x, k).bitwiseAND(1).cast("int"))
+          when(cnt * 2 > size(col("xs")), lit(1L << k)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** Bands for the 32-bit simhash: `SimhashBands` x `SimhashBandBits`.

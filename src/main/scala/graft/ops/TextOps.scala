@@ -119,28 +119,27 @@ object TextOps {
     * keep the MINIMUM hash of every sliding window of `win` k-grams;
     * the distinct selected hashes are the document's fingerprint set.
     * Guarantees any shared substring of length >= k + win - 1 yields a
-    * shared fingerprint. Pure column expressions + one bounded window
-    * (partitioned by doc — never global), so it scales as a narrow map
-    * + per-doc window over the documents table. */
+    * shared fingerprint. Computed entirely NARROW: the k-gram hashes
+    * become a per-row array, windowed minima are a `transform` +
+    * `least` over it, and `array_distinct` runs before the explode —
+    * zero shuffle (rounds 1-3 shuffled every k-gram hash into a
+    * per-doc window and a global distinct; fingerprints are per-doc
+    * facts, so no cross-row data movement is ever needed). */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, win: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nGrams = (length(col("t")) - (k - 1)).as("n")
-    val grams = docs
-      .select(col(idCol).as("doc"), col(textCol).as("t"))
-      .select(col("doc"), nGrams,
-        // guard: Spark's sequence(1, n) is DESCENDING for n < 1
-        explode(when(length(col("t")) - (k - 1) >= 1,
-          sequence(lit(1), length(col("t")) - (k - 1)))
-          .otherwise(array().cast("array<int>"))).as("pos"),
-        col("t"))
-      .select(col("doc"), col("n"), col("pos"),
-        md5h60(col("t").substr(col("pos"), lit(k))).as("h"))
-    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, win - 1)
-    grams.withColumn("fp", min(col("h")).over(w))
-      .filter(col("pos") <= col("n") - (win - 1))
-      .select(col("doc"), col("fp")).distinct()
+    // guard: Spark's sequence(1, n) is DESCENDING for n < 1
+    val emptyInts = array().cast("array<int>")
+    val hs = transform(
+      when(length(col("t")) - (k - 1) >= 1,
+        sequence(lit(1), length(col("t")) - (k - 1))).otherwise(emptyInts),
+      pos => md5h60(col("t").substr(pos, lit(k))))
+    docs.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .select(col("doc"), hs.as("hs"))
+      .select(col("doc"), explode(array_distinct(transform(
+        when(size(col("hs")) >= win,
+          sequence(lit(1), size(col("hs")) - (win - 1))).otherwise(emptyInts),
+        i => least((0 until win).map(j => element_at(col("hs"), i + j)): _*))))
+        .as("fp"))
   }
 
   /** Word n-gram set (distinct), the dedup shingle unit. */

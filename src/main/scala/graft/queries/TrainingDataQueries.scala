@@ -51,8 +51,10 @@ object TrainingDataQueries {
       .orderBy(col("fingerprint"))
 
   // df-cut at 200: shingles present in >200 documents are dropped from
-  // candidate generation (mirrored in the oracles) — the web-scale
-  // guard against quadratic hot-shingle joins.
+  // the inverted-index candidate generation (mirrored in the oracle) —
+  // the web-scale guard against quadratic hot-shingle joins. Only the
+  // jaccard path needs it: minhash candidates come from a band join
+  // that hot shingles cannot explode.
   private val MaxDf = 200L
 
   private val dedupJaccard: Q = (s, d) =>
@@ -60,7 +62,7 @@ object TrainingDataQueries {
       .orderBy(col("d1"), col("d2"))
 
   private val dedupMinhash: Q = (s, d) =>
-    DedupOps.minhashLshPairs(docs(s, d), "doc_id", "text", 0.7, MaxDf)
+    DedupOps.minhashLshPairs(docs(s, d), "doc_id", "text", 0.7)
       .orderBy(col("d1"), col("d2"))
 
   private val dedupSimhash: Q = (s, d) =>
@@ -208,10 +210,8 @@ object TrainingDataQueries {
       s"SELECT doc, $b AS band, $sig AS sig FROM sig"
     }.mkString("\n  UNION ALL ")
     shinglesCte +
-      s""", dfc AS (SELECT ng FROM sh GROUP BY ng HAVING count(*) <= $MaxDf),
-         |shx AS (SELECT sh.doc, sh.ng FROM sh JOIN dfc USING (ng)),
-         |hx AS (SELECT doc,
-         |  ('0x'||substr(md5(ng),1,15))::BIGINT % ${DedupOps.P30} AS x FROM shx),
+      s""", hx AS (SELECT doc,
+         |  ('0x'||substr(md5(ng),1,15))::BIGINT % ${DedupOps.P30} AS x FROM sh),
          |sig AS (SELECT doc,
          |  $mins
          |FROM hx GROUP BY doc),

@@ -195,6 +195,21 @@ class PlanSpec extends SparkSpec {
       s"warm cache path must not shuffle before the consumer:\n${p.take(2000)}")
   }
 
+  test("minhash and simhash signatures are shuffle-free narrow maps") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mh = plan(graft.ops.DedupOps.minhashSignatures(docs, "doc_id", "text"))
+    assert(!mh.contains("Exchange") && !mh.contains("Generate"),
+      s"minhash signatures must be one narrow projection:\n${mh.take(2000)}")
+    val sh = plan(graft.ops.DedupOps.simhashSignatures(docs, "doc_id", "text"))
+    assert(!sh.contains("Exchange") && !sh.contains("Generate"),
+      s"simhash signatures must be one narrow projection:\n${sh.take(2000)}")
+    // winnowing emits (doc, fp) pairs — an explode is inherent, but a
+    // shuffle is not: fingerprints are per-doc facts
+    val wf = plan(graft.ops.TextOps.winnowFingerprints(docs, "doc_id", "text"))
+    assert(!wf.contains("Exchange"),
+      s"winnowing must not shuffle k-gram hashes:\n${wf.take(2000)}")
+  }
+
   test("whole-stage codegen covers the relational operators") {
     val df = graft.queries.RelationalQueries.all("q1_agg")(spark, dir)
     df.collect() // let AQE finalize the plan
