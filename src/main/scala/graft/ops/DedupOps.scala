@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   *    trigrams, boilerplate) are dropped from the index by a document-
   *    frequency cut (`dfCut`) BEFORE the self-join — without it one hot
   *    shingle produces a quadratic candidate set at 100 TB. Verification
-  *    is always exact over the full postings.
+  *    is always exact over each doc's FULL shingle set (the cut only
+  *    bounds candidate generation).
   *  - minhash: signatures are NARROW per-row array ops (`array_min`
   *    over the doc's hashed shingle array) — ZERO shuffle; the only
   *    shuffle in the whole operator is the band-bucket equi-join,
@@ -77,25 +78,6 @@ object DedupOps {
       sh.join(df, "ng")
     }
 
-  /** Exact-Jaccard verification of candidate pairs against the full
-    * posting table (only candidates' postings are joined). */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame = {
-    val n = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val common = cands
-      .join(sh.as("s1"), col("d1") === col("s1.doc"))
-      .join(sh.as("s2"),
-        col("d2") === col("s2.doc") && col("s1.ng") === col("s2.ng"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
-    common
-      .join(n.as("n1"), col("d1") === col("n1.doc"))
-      .join(n.as("n2"), col("d2") === col("n2.doc"))
-      .select(col("d1"), col("d2"),
-        (col("c").cast("double") /
-          (col("n1.n") + col("n2.n") - col("c")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
-
   /** Candidate pairs sharing at least one indexed shingle. */
   def jaccardCandidates(shIdx: DataFrame): DataFrame =
     shIdx.as("a").join(shIdx.as("b"),
@@ -104,11 +86,16 @@ object DedupOps {
       .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs: inverted-index candidate join
-    * (df-cut postings) + exact verification over the full postings. */
+    * over df-cut postings, then the same array-intersection exact
+    * verification as minhash (identical values to a posting-count
+    * verify — the shingle sets are distinct). The posting table is
+    * cached because dfCut reads it twice (the df aggregate and the
+    * join back). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
     val sh = shingles(docs, idCol, textCol).cache()
-    verifyJaccard(jaccardCandidates(dfCut(sh, maxDf)), sh, threshold)
+    verifyJaccardArrays(jaccardCandidates(dfCut(sh, maxDf)),
+      docs, idCol, textCol, threshold)
   }
 
   /** MinHash signature columns mh0..mh15, computed NARROW: each doc's

@@ -183,7 +183,8 @@ object TrainingDataQueries {
       |""".stripMargin
 
   // candidate generation over df-cut postings, exact verification over
-  // the full postings — mirrors DedupOps.jaccardPairs(maxDf=200)
+  // the full postings (value-identical to the engine's narrow
+  // array-intersection verify) — mirrors DedupOps.jaccardPairs(maxDf=200)
   private val jaccardBody =
     s""", dfc AS (SELECT ng FROM sh GROUP BY ng HAVING count(*) <= $MaxDf),
       |shx AS (SELECT sh.doc, sh.ng FROM sh JOIN dfc USING (ng)),

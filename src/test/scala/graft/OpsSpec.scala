@@ -124,6 +124,44 @@ class OpsSpec extends SparkSpec {
     small.zip(smallAgain).foreach { case (a, b) => assert(a.sameElements(b)) }
   }
 
+  test("narrow signatures == classic posting-table formulation") {
+    // the round-4 narrow rewrite must be a pure plan change: recompute
+    // both signature families the explode+groupBy way and assert
+    // per-doc equality on the real corpus table
+    val sh = DedupOps.shingles(docs, "doc_id", "text")
+      .select(col("doc"), pmod(TextOps.md5h60(col("ng")),
+        lit(DedupOps.P30)).as("x"))
+    val mhAggs = (0 until DedupOps.NumHashes).map { i =>
+      min((col("x") * (2 * i + 1) + (97 + 31 * i)) % DedupOps.PMOD)
+        .as(s"mh$i")
+    }
+    val mhOld = sh.groupBy(col("doc")).agg(mhAggs.head, mhAggs.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to DedupOps.NumHashes).map(r.getLong).toVector).toMap
+    val mhNew = DedupOps.minhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to DedupOps.NumHashes).map(r.getLong).toVector).toMap
+    assert(mhNew == mhOld)
+
+    val tok = docs.select(col("doc_id").as("doc"),
+      explode(array_distinct(TextOps.words(col("text")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc"), TextOps.md5h60(col("w")).as("h"))
+    val bitSums = (0 until 32).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$k")
+    }
+    val shOld = tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"),
+        (0 until 32).map(k =>
+          when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shNew = DedupOps.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shNew == shOld)
+  }
+
   test("LSH index rows are id-only (no embedding arrays in the cached index)") {
     // both ANN consumers cache() the index and self-join it — since the
     // id-pair refactor no consumer reads the vector from the index, and
