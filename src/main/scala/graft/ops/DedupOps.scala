@@ -26,14 +26,15 @@ import org.apache.spark.sql.functions._
   *    table, no df-cut: hot shingles cannot explode a band join, and
   *    the min-aggregate absorbs them — the df-cut is an inverted-index
   *    concern (see jaccard above), not a signature concern.
-  *  - simhash: one 64->16-bit signature per doc; banding on the top
-  *    bits, verify by hamming distance (bit_count(xor)).
+  *  - simhash: one 32-bit signature per doc, computed narrow like
+  *    minhash; 4 bands x 8 bits (pigeonhole-complete for hamming<=3),
+  *    verify by hamming distance (bit_count(xor)).
   *
   * All hash arithmetic is the portable md5-60bit + modular family
   * (a_i*x + b_i mod p) so the DuckDB oracles replicate results exactly.
   *
-  * Caching contract: `jaccardPairs` (the one operator whose candidate
-  * and verification branches share a posting table) `cache()`s it and
+  * Caching contract: `jaccardPairs` (the one operator that builds a
+  * posting table, read twice by `dfCut`) `cache()`s it and
   * returns a LAZY DataFrame, so it cannot unpersist it itself — the
   * CALLER owns cleanup (`spark.catalog.clearCache()` between unrelated
   * queries, as Verify and Bench do). cache() is chosen over
@@ -67,8 +68,8 @@ object DedupOps {
     * frequency <= maxDf. At web scale one hot shingle (stop-trigram,
     * license boilerplate) otherwise produces a QUADRATIC candidate set
     * in the inverted-index self-join; the cut drops only shingles so
-    * common they carry no near-dup signal. Verification below always
-    * uses the FULL posting table — the cut only bounds candidate
+    * common they carry no near-dup signal. Verification always uses
+    * each doc's FULL shingle set — the cut only bounds candidate
     * generation. */
   def dfCut(sh: DataFrame, maxDf: Long): DataFrame =
     if (maxDf == Long.MaxValue) sh
