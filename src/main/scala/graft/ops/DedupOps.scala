@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    shingle produces a quadratic candidate set at 100 TB. Verification
   *    is always exact over each doc's FULL shingle set (the cut only
   *    bounds candidate generation).
-  *  - minhash: signatures are NARROW per-row array ops (`array_min`
-  *    over the doc's hashed shingle array) — ZERO shuffle; the only
+  *  - minhash: signatures are NARROW per-row native expressions (one
+  *    codegen'd pass over the doc's distinct shingles, HashSigs.scala)
+  *    — ZERO shuffle; the only
   *    shuffle in the whole operator is the band-bucket equi-join,
   *    which carries 4 short rows per document. Verification joins the
   *    candidate id pairs back to the document table (AQE broadcasts
@@ -44,8 +45,6 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  import TextOps.{md5h60, ngrams}
-
   val P30 = 1073741789L   // prime < 2^30: keeps a*x + b within 2^35
   val PMOD = 1000000007L
   val NumHashes = 16
@@ -58,11 +57,17 @@ object DedupOps {
     docs.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_docs"))
 
-  /** Distinct (id, shingle) posting table. */
+  /** Distinct (id, shingle) posting table. The shingle array comes
+    * from the native one-pass kernel (`ngram_shingles`), not the HOF
+    * `TextOps.ngrams` — value-identical (OpsSpec parity test), but the
+    * HOF `transform` is CodegenFallback and pays an interpreted lambda
+    * dispatch per n-gram. */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame =
+      n: Int = 3): DataFrame = {
+    graft.functions.SigFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("doc"),
-      explode(ngrams(col(textCol), n)).as("ng"))
+      explode(expr(s"ngram_shingles(`$textCol`, $n)")).as("ng"))
+  }
 
   /** Posting table restricted to index-able shingles: document
     * frequency <= maxDf. At web scale one hot shingle (stop-trigram,
@@ -99,23 +104,27 @@ object DedupOps {
       docs, idCol, textCol, threshold)
   }
 
-  /** MinHash signature columns mh0..mh15, computed NARROW: each doc's
-    * shingles are hashed into an array column once (`md5h60` evaluated
-    * once per shingle), then each mh_i is an `array_min` over a
-    * per-row `transform` — no explode, no groupBy, no shuffle. At web
-    * scale this removes the operator's dominant shuffle (the posting
-    * explode is ~100x the document bytes). Docs with no shingle
-    * (< n tokens) get no signature row, matching the posting-table
-    * formulation where they produce no postings. */
+  /** MinHash signature columns mh0..mh15, computed NARROW: all 16
+    * minhashes come from ONE pass over the doc's distinct shingles in
+    * a native codegen expression (`graft.functions.MinhashSigs`) — no
+    * explode, no groupBy, no shuffle, and no interpreted lambda
+    * higher-order functions (a `transform`-based formulation measured
+    * 3x slower than the posting groupBy it replaced — see the HashSigs
+    * scaladoc). Docs with < n tokens have no shingle and get no
+    * signature row, matching the posting-table formulation where they
+    * produce no postings. */
   def minhashSignatures(docs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    val xs = transform(ngrams(col(textCol), n),
-      ng => pmod(md5h60(ng), lit(P30)))
-    docs.select(col(idCol).as("doc"), xs.as("xs"))
-      .filter(size(col("xs")) > 0)
+    graft.functions.SigFunctions.register(docs.sparkSession)
+    docs
+      // cheap pre-filter keeps the expensive expression out of any
+      // pushed-down predicate (a filter on the signature column would
+      // be substituted below the projection and evaluate it twice)
+      .filter(size(TextOps.words(col(textCol))) >= n)
+      .select(col(idCol).as("doc"),
+        expr(s"minhash_sigs(`$textCol`, $n)").as("mhs"))
       .select(col("doc") +: (0 until NumHashes).map { i =>
-        array_min(transform(col("xs"),
-          x => (x * (2 * i + 1) + (97 + 31 * i)) % PMOD)).as(s"mh$i")
+        col("mhs").getItem(i).as(s"mh$i")
       }: _*)
   }
 
@@ -130,16 +139,23 @@ object DedupOps {
       .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
   /** Exact-Jaccard verification of candidate id pairs directly against
-    * the document table: each side joins back to its distinct-shingle
-    * array (AQE broadcasts the small candidate side, so the big doc
-    * table is never shuffled), then Jaccard is a narrow
-    * `array_intersect` — |A∩B| / (|A|+|B|-|A∩B|) over distinct
-    * shingles, identical arithmetic to the posting-count formulation. */
+    * the document table: each doc's distinct-shingle array is computed
+    * ONCE (native kernel, narrow) and each pair side joins back to it —
+    * AQE broadcasts the small candidate side, so the big doc table is
+    * never shuffled. Per-DOC computation matters: candidate PAIRS are
+    * the unbounded quantity (a hot inverted-index shingle yields
+    * quadratically many), so computing shingles per pair after the
+    * join — tried and reverted — multiplies the kernel by pair count
+    * (measured 15s vs 1.1s on the sf0.1 jaccard query). Jaccard is
+    * then a narrow `array_intersect` — |A∩B| / (|A|+|B|-|A∩B|) over
+    * distinct shingles, identical arithmetic to the posting-count
+    * formulation. */
   private def verifyJaccardArrays(cands: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       n: Int = 3): DataFrame = {
+    graft.functions.SigFunctions.register(docs.sparkSession)
     val arr = docs.select(col(idCol).as("doc"),
-      ngrams(col(textCol), n).as("ngs"))
+      expr(s"ngram_shingles(`$textCol`, $n)").as("ngs"))
     cands
       .join(arr.as("g1"), col("d1") === col("g1.doc"))
       .join(arr.as("g2"), col("d2") === col("g2.doc"))
@@ -171,29 +187,20 @@ object DedupOps {
   }
 
   /** 32-bit SimHash per doc from distinct-token 60-bit hashes,
-    * computed NARROW: tokens are hashed into an array column once,
-    * then bit k of the signature is set iff strictly more token hashes
-    * have bit k set than unset — `2*countSet > n`, the same predicate
-    * as the classic `sum(±1) > 0` but as a per-row `aggregate` over
-    * the array instead of an explode + groupBy shuffle. Docs with no
-    * non-empty token get no row (the grouped formulation had no group
-    * for them). */
+    * computed NARROW in one pass per row (`graft.functions.SimhashSig`
+    * native expression): bit k of the signature is set iff strictly
+    * more token hashes have bit k set than unset — the same predicate
+    * as the classic `sum(±1) > 0`, without the explode + groupBy
+    * shuffle. Docs with no non-empty token get no row (the grouped
+    * formulation had no group for them): `trim(text) != ''` is exactly
+    * "some space-split token is non-empty" and keeps the expensive
+    * expression out of the pushed-down predicate. */
   def simhashSignatures(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    // hash once per distinct token into an array (md5 inlined into the
-    // 32 per-bit aggregates would be evaluated 32x per token)
-    val xs = transform(
-      filter(array_distinct(TextOps.words(col(textCol))),
-        w => length(w) > 0),
-      w => md5h60(w))
-    docs.select(col(idCol).as("doc"), xs.as("xs"))
-      .filter(size(col("xs")) > 0)
-      .select(col("doc"),
-        (0 until 32).map { k =>
-          val cnt = aggregate(col("xs"), lit(0),
-            (acc, x) => acc + shiftright(x, k).bitwiseAND(1).cast("int"))
-          when(cnt * 2 > size(col("xs")), lit(1L << k)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+    graft.functions.SigFunctions.register(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc"),
+        expr(s"simhash_sig(`$textCol`)").as("simhash"))
   }
 
   /** Bands for the 32-bit simhash: `SimhashBands` x `SimhashBandBits`.

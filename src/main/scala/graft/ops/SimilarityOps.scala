@@ -24,16 +24,29 @@ object SimilarityOps {
   /** embedding as array<double> (float parquet values widen exactly). */
   private def dvec(c: Column): Column = c.cast("array<double>")
 
+  /** HOF reference formulation of the dot product — kept as the
+    * independent parity oracle for the native fused kernel (OpsSpec
+    * compares `cosine` against `cosineHof` on the real embeddings);
+    * production paths use the native kernel below. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def cosine(a: Column, b: Column): Column =
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Fused single-pass cosine (native expression, VecOps.scala) —
+    * bit-identical to `cosineHof` but one tight JVM loop per row
+    * instead of 3 CodegenFallback HOF passes. Callers must have
+    * `VecFunctions.register`ed the session (every operator entry point
+    * here does). */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   /** Brute-force top-k neighbors for the query set (by id predicate).
     * Output: (query_id, rank, neighbor_id) — ids only; float scores are
     * order-determining but not emitted (hash-compare safety). */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    graft.functions.VecFunctions.register(emb.sparkSession)
     val q = emb.filter(queryPred)
       .select(col("vec_id").as("query_id"), dvec(col("embedding")).as("qv"))
     val c = emb.select(col("vec_id").as("neighbor_id"),
@@ -107,6 +120,7 @@ object SimilarityOps {
     * which is the point at web scale. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
       nPlanes: Int = 4, nTables: Int = 4, dim: Int = 64): DataFrame = {
+    graft.functions.VecFunctions.register(emb.sparkSession)
     val tables = defaultTables(nPlanes, nTables, dim)
     // cache: both join sides project the same mapPartitions hashing
     // pass — uncached it would hash every embedding twice
@@ -212,6 +226,7 @@ object SimilarityOps {
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
       nCells: Int = 8, nProbe: Int = 2, iters: Int = 5,
       trained: Option[Array[Array[Double]]] = None): DataFrame = {
+    graft.functions.VecFunctions.register(emb.sparkSession)
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
@@ -258,6 +273,7 @@ object SimilarityOps {
     * Output is ids only (floats decide, never emitted). */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
       nPlanes: Int = 4, nTables: Int = 4, dim: Int = 64): DataFrame = {
+    graft.functions.VecFunctions.register(emb.sparkSession)
     // cache: see lshTopK — the self-join reads the hashing pass twice
     val withB = lshIndex(emb, defaultTables(nPlanes, nTables, dim)).cache()
     val a = withB.select(col("vec_id").as("d1"),
@@ -289,6 +305,7 @@ object SimilarityOps {
     * in PlanSpec). The tiny rank window afterwards runs over exactly
     * `topN` already-collected rows. */
   def topPairs(emb: DataFrame, sampleMod: Int, topN: Int): DataFrame = {
+    graft.functions.VecFunctions.register(emb.sparkSession)
     val q = emb.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("id1"), dvec(col("embedding")).as("v1"))
     val c = emb.select(col("vec_id").as("id2"), dvec(col("embedding")).as("v2"))

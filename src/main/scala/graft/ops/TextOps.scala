@@ -119,30 +119,27 @@ object TextOps {
     * keep the MINIMUM hash of every sliding window of `win` k-grams;
     * the distinct selected hashes are the document's fingerprint set.
     * Guarantees any shared substring of length >= k + win - 1 yields a
-    * shared fingerprint. Computed entirely NARROW: the k-gram hashes
-    * become a per-row array, windowed minima are a `transform` +
-    * `least` over it, and `array_distinct` runs before the explode —
-    * zero shuffle (rounds 1-3 shuffled every k-gram hash into a
-    * per-doc window and a global distinct; fingerprints are per-doc
-    * facts, so no cross-row data movement is ever needed). */
+    * shared fingerprint. Computed entirely NARROW: the whole hash +
+    * sliding-min + distinct chain runs in one native codegen
+    * expression per row (`graft.functions.WinnowFps`) and the result
+    * array explodes — zero shuffle (rounds 1-3 shuffled every k-gram
+    * hash into a per-doc window and a global distinct; fingerprints
+    * are per-doc facts, so no cross-row data movement is ever
+    * needed). */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, win: Int = 4): DataFrame = {
-    // guard: Spark's sequence(1, n) is DESCENDING for n < 1
-    val emptyInts = array().cast("array<int>")
-    val hs = transform(
-      when(length(col("t")) - (k - 1) >= 1,
-        sequence(lit(1), length(col("t")) - (k - 1))).otherwise(emptyInts),
-      pos => md5h60(col("t").substr(pos, lit(k))))
-    docs.select(col(idCol).as("doc"), col(textCol).as("t"))
-      .select(col("doc"), hs.as("hs"))
-      .select(col("doc"), explode(array_distinct(transform(
-        when(size(col("hs")) >= win,
-          sequence(lit(1), size(col("hs")) - (win - 1))).otherwise(emptyInts),
-        i => least((0 until win).map(j => element_at(col("hs"), i + j)): _*))))
-        .as("fp"))
+    graft.functions.SigFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc"),
+      explode(expr(s"winnow_fps(`$textCol`, $k, $win)")).as("fp"))
   }
 
-  /** Word n-gram set (distinct), the dedup shingle unit. */
+  /** Word n-gram set (distinct, first-occurrence order), the dedup
+    * shingle unit — HOF reference formulation. Production operators use
+    * the value-identical native kernel (`ngram_shingles`,
+    * functions/HashSigs.scala) instead: `transform` is CodegenFallback
+    * in Spark, so this form pays an interpreted lambda dispatch per
+    * n-gram. Kept as the independent parity oracle (OpsSpec compares
+    * the two element-wise). */
   def ngrams(text: Column, n: Int): Column = {
     val t = words(text)
     when(size(t) >= n,

@@ -214,8 +214,9 @@ object RelationalQueries {
         concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("probe"))
     val keyed = probes.withColumn("key",
       concat_ws(" ", slice(split(col("probe"), " "), 1, 3)))
+    graft.functions.SigFunctions.register(s)
     val sh = docs.select(col("doc_id"),
-      explode(graft.ops.TextOps.ngrams(col("text"), 3)).as("ng"))
+      explode(expr("ngram_shingles(`text`, 3)")).as("ng"))
     // probe side is 5% OF THE CORPUS — corpus-proportional, so no
     // explicit broadcast (round 2 hinted it: a 5 TB broadcast at
     // 100 TB). The blocked match is a plain shingle equi-join; AQE
@@ -243,8 +244,9 @@ object RelationalQueries {
         concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("probe"))
     val keyed = probes.withColumn("key",
       concat_ws(" ", slice(split(col("probe"), " "), 1, 3)))
+    graft.functions.SigFunctions.register(s)
     val sh = docs.select(col("doc_id"),
-      explode(graft.ops.TextOps.ngrams(col("text"), 3)).as("ng"))
+      explode(expr("ngram_shingles(`text`, 3)")).as("ng"))
     // no broadcast hint on the corpus-proportional probe side — see
     // containAlign
     val cands = keyed.join(sh, col("key") === col("ng"))

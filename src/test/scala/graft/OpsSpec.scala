@@ -160,6 +160,48 @@ class OpsSpec extends SparkSpec {
     val shNew = DedupOps.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(shNew == shOld)
+
+    // winnowing: one-pass expression == the classic per-doc window
+    // formulation (explode positions -> bounded window min -> distinct)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 3)
+    val wfOld = docs
+      .select(col("doc_id").as("doc"), (length(col("text")) - 7).as("n"),
+        explode(when(length(col("text")) - 7 >= 1,
+          sequence(lit(1), length(col("text")) - 7))
+          .otherwise(array().cast("array<int>"))).as("pos"),
+        col("text"))
+      .select(col("doc"), col("n"), col("pos"),
+        TextOps.md5h60(col("text").substr(col("pos"), lit(8))).as("h"))
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") <= col("n") - 3)
+      .select(col("doc"), col("fp")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wfNew = TextOps.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wfNew == wfOld)
+
+    // native ngram_shingles == HOF TextOps.ngrams, ELEMENT-WISE (the
+    // kernel must preserve first-occurrence distinct order, not just
+    // the set) — plus the short-doc empty-array case
+    graft.functions.SigFunctions.register(spark)
+    val shingleRows = docs
+      .select(col("doc_id"),
+        TextOps.ngrams(col("text"), 3).as("hof"),
+        expr("ngram_shingles(`text`, 3)").as("native"))
+      .collect()
+    assert(shingleRows.nonEmpty)
+    shingleRows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"shingle mismatch for doc ${r.getLong(0)}")
+    }
+    val shortDoc = spark.range(1).select(lit("a b").as("text"))
+      .select(TextOps.ngrams(col("text"), 3).as("hof"),
+        expr("ngram_shingles(`text`, 3)").as("native"))
+      .head()
+    assert(shortDoc.getSeq[String](0).isEmpty &&
+      shortDoc.getSeq[String](1).isEmpty)
   }
 
   test("LSH index rows are id-only (no embedding arrays in the cached index)") {
@@ -196,10 +238,32 @@ class OpsSpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
+  test("native fused cosine == HOF formulation, bit-exact on real embeddings") {
+    graft.functions.VecFunctions.register(spark)
+    val rows = emb.alias("a").join(emb.alias("b"),
+        col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 40)
+      .select(
+        SimilarityOps.cosine(col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")).as("native"),
+        SimilarityOps.cosineHof(col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    // bit-exact, not approx: both accumulate left-to-right in double
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // null parity with zip_with: length mismatch and null element
+    val edge = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d)) AS mismatch,
+        |       cosine_sim(array(1.0d, NULL), array(1.0d, 2.0d)) AS nullelem,
+        |       cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS nullvec
+        |""".stripMargin).head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+  }
+
   test("cosine near-dup pairs: verified subset of all-pairs threshold, deterministic") {
     val exact = emb.alias("a").join(emb.alias("b"),
         col("a.vec_id") < col("b.vec_id"))
-      .filter(SimilarityOps.cosine(
+      .filter(SimilarityOps.cosineHof(
         col("a.embedding").cast("array<double>"),
         col("b.embedding").cast("array<double>")) >= 0.3)
       .select(col("a.vec_id"), col("b.vec_id"))

@@ -200,14 +200,27 @@ class PlanSpec extends SparkSpec {
     val mh = plan(graft.ops.DedupOps.minhashSignatures(docs, "doc_id", "text"))
     assert(!mh.contains("Exchange") && !mh.contains("Generate"),
       s"minhash signatures must be one narrow projection:\n${mh.take(2000)}")
+    // the expensive one-pass kernel must appear EXACTLY once — a
+    // collapsed projection would inline it into all 16 mh extractors
+    assert("minhashsigs|minhash_sigs".r.findAllIn(mh.toLowerCase).length == 1,
+      s"minhash kernel must be evaluated once:\n${mh.take(2000)}")
     val sh = plan(graft.ops.DedupOps.simhashSignatures(docs, "doc_id", "text"))
     assert(!sh.contains("Exchange") && !sh.contains("Generate"),
       s"simhash signatures must be one narrow projection:\n${sh.take(2000)}")
+    assert("simhashsig|simhash_sig".r.findAllIn(sh.toLowerCase).length == 1,
+      s"simhash kernel must be evaluated once:\n${sh.take(2000)}")
     // winnowing emits (doc, fp) pairs — an explode is inherent, but a
     // shuffle is not: fingerprints are per-doc facts
     val wf = plan(graft.ops.TextOps.winnowFingerprints(docs, "doc_id", "text"))
     assert(!wf.contains("Exchange"),
       s"winnowing must not shuffle k-gram hashes:\n${wf.take(2000)}")
+    // and whole-stage codegen must cover the signature projections —
+    // the kernels are real codegen expressions, not CodegenFallback
+    // (executedPlan.toString marks codegen stages with a "*(N)" prefix)
+    assert("""\*\(\d+\) Project \[doc""".r.findFirstIn(mh).isDefined,
+      s"minhash projection not inside whole-stage codegen:\n$mh")
+    assert("""\*\(\d+\) Project \[doc""".r.findFirstIn(sh).isDefined,
+      s"simhash projection not inside whole-stage codegen:\n$sh")
   }
 
   test("whole-stage codegen covers the relational operators") {
