@@ -223,6 +223,21 @@ class PlanSpec extends SparkSpec {
       s"simhash projection not inside whole-stage codegen:\n$sh")
   }
 
+  test("fused cosine kernel runs inside whole-stage codegen in ANN scans") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.ops.SimilarityOps.bruteForceTopK(
+      emb, org.apache.spark.sql.functions.col("vec_id") < 10, 5)
+    df.collect() // finalize AQE on THIS QueryExecution (count() builds another)
+    val p = plan(df)
+    assert(p.toLowerCase.contains("cosinesim"),
+      s"expected the native cosine kernel in the plan:\n${p.take(2000)}")
+    // the projection computing `cos` must carry the codegen marker —
+    // a CodegenFallback expression would force it out of the span
+    val cosLine = p.linesIterator.find(_.toLowerCase.contains("cosinesim"))
+    assert(cosLine.exists(l => """\*\(\d+\)""".r.findFirstIn(l).isDefined),
+      s"cosine projection not inside whole-stage codegen:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the relational operators") {
     val df = graft.queries.RelationalQueries.all("q1_agg")(spark, dir)
     df.collect() // let AQE finalize the plan
