@@ -64,6 +64,11 @@ object Losses {
   def smoothed(scores: Array[Double], label: Int,
       alpha: Double = 0.1): Double = {
     val c = scores.length
+    // degenerate 1-class distribution: logSoftmax is 0 and the
+    // smoothing mass alpha has no off-class to land on, so the loss
+    // is exactly -(1-alpha)*0 = 0 (the closed form below would
+    // instead return alpha*scores(0) because it assumes dist mass 1)
+    if (c == 1) return 0.0
     val off = alpha / (c - 1)
     var m = Double.NegativeInfinity
     var i = 0

@@ -3,6 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -35,7 +36,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark's own Substring uses.
   */
 object HashSigs {
-  import graft.ops.DedupOps.{Bands, NumHashes, P30, PMOD, RowsPerBand}
+  import graft.ops.DedupOps.{NumHashes, P30, PMOD}
 
   private val md = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest =
@@ -59,11 +60,15 @@ object HashSigs {
     md5h60(b, 0, b.length)
   }
 
-  /** Distinct word trigrams of `split(text, " ")` (limit -1), joined
-    * with single spaces — the exact shingle unit of TextOps.ngrams. */
-  private def distinctShingles(text: UTF8String, n: Int): java.util.HashSet[String] = {
+  /** Distinct word n-grams of `split(text, " ")` (limit -1), joined
+    * with single spaces, in FIRST-OCCURRENCE order — the exact
+    * shingle unit of TextOps.ngrams. The single n-gram builder behind
+    * both [[shingleArray]] (order-sensitive: parity tests compare
+    * element-wise against the HOF formulation) and [[minhash]] (order
+    * irrelevant to a min). */
+  private def distinctShingles(text: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
     val t = text.toString.split(" ", -1)
-    val set = new java.util.HashSet[String]()
+    val set = new java.util.LinkedHashSet[String]()
     if (t.length >= n) {
       val sb = new java.lang.StringBuilder()
       var i = 0
@@ -82,30 +87,11 @@ object HashSigs {
     set
   }
 
-  /** Distinct shingles in FIRST-OCCURRENCE order, as an array value —
+  /** Distinct shingles in first-occurrence order, as an array value —
     * exactly `array_distinct(transform(...))` over the sequential
-    * n-gram positions, i.e. TextOps.ngrams. Order matters: parity
-    * tests compare the arrays element-wise against the HOF
-    * formulation. */
+    * n-gram positions, i.e. TextOps.ngrams. */
   def shingleArray(text: UTF8String, n: Int): ArrayData = {
-    val t = text.toString.split(" ", -1)
-    if (t.length < n)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array.empty[Any])
-    val set = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i <= t.length - n) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(t(i + k))
-        k += 1
-      }
-      set.add(sb.toString)
-      i += 1
-    }
+    val set = distinctShingles(text, n)
     val out = new Array[Any](set.size)
     val it = set.iterator()
     var j = 0
@@ -202,9 +188,24 @@ object HashSigs {
   }
 }
 
+/** Analysis-time string-argument check shared by the signature
+  * kernels: a wrong-typed SQL argument (`minhash_sigs(doc_id)`) fails
+  * at analysis with a clear message instead of a Janino compile error
+  * + per-row ClassCastException in the interpreted fallback. */
+trait StringKernelInput { self: UnaryExpression =>
+  def kernelName: String
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$kernelName expects a string argument, got ${other.simpleString}")
+    }
+}
+
 /** mh0..mh15 as array<long>; empty array when the doc has no shingle. */
 case class MinhashSigs(child: Expression, n: Int = 3)
-    extends UnaryExpression {
+    extends UnaryExpression with StringKernelInput {
+  override def kernelName: String = "minhash_sigs"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     HashSigs.minhash(input.asInstanceOf[UTF8String], n)
@@ -215,7 +216,9 @@ case class MinhashSigs(child: Expression, n: Int = 3)
 }
 
 /** 32-bit simhash as long; -1 when the doc has no non-empty word. */
-case class SimhashSig(child: Expression) extends UnaryExpression {
+case class SimhashSig(child: Expression)
+    extends UnaryExpression with StringKernelInput {
+  override def kernelName: String = "simhash_sig"
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
     HashSigs.simhash(input.asInstanceOf[UTF8String])
@@ -230,7 +233,8 @@ case class SimhashSig(child: Expression) extends UnaryExpression {
   * OpsSpec). Null text stays null (callers explode or size() it, where
   * null and the HOF's empty array behave identically). */
 case class NgramShingles(child: Expression, n: Int = 3)
-    extends UnaryExpression {
+    extends UnaryExpression with StringKernelInput {
+  override def kernelName: String = "ngram_shingles"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     HashSigs.shingleArray(input.asInstanceOf[UTF8String], n)
@@ -242,7 +246,8 @@ case class NgramShingles(child: Expression, n: Int = 3)
 
 /** Distinct winnowing fingerprints as array<long>. */
 case class WinnowFps(child: Expression, k: Int = 8, win: Int = 4)
-    extends UnaryExpression {
+    extends UnaryExpression with StringKernelInput {
+  override def kernelName: String = "winnow_fps"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     HashSigs.winnow(input.asInstanceOf[UTF8String], k, win)
@@ -254,7 +259,8 @@ case class WinnowFps(child: Expression, k: Int = 8, win: Int = 4)
 
 object SigFunctions {
   private def intArg(e: Expression): Int = {
-    require(e.foldable, s"expected a literal int argument, got $e")
+    require(e.foldable && e.dataType == IntegerType,
+      s"expected a literal INT argument, got $e: ${e.dataType.simpleString}")
     e.eval().asInstanceOf[Int]
   }
 

@@ -154,8 +154,19 @@ object DedupOps {
       idCol: String, textCol: String, threshold: Double,
       n: Int = 3): DataFrame = {
     graft.functions.SigFunctions.register(docs.sparkSession)
-    val arr = docs.select(col(idCol).as("doc"),
-      expr(s"ngram_shingles(`$textCol`, $n)").as("ngs"))
+    // restrict the doc table to docs that appear in some candidate
+    // pair BEFORE running the shingle kernel: the two verify joins
+    // below each scan `arr`, and without the semi-join each scan
+    // re-runs the per-doc kernel over the ENTIRE table — including
+    // the overwhelming majority of docs in no pair at all. The
+    // candidate-id side is small (AQE broadcasts it), so the big doc
+    // table is still never shuffled.
+    val ids = cands.select(col("d1").as("doc"))
+      .union(cands.select(col("d2").as("doc"))).distinct()
+    val arr = docs
+      .join(ids, docs(idCol) === ids("doc"), "left_semi")
+      .select(col(idCol).as("doc"),
+        expr(s"ngram_shingles(`$textCol`, $n)").as("ngs"))
     cands
       .join(arr.as("g1"), col("d1") === col("g1.doc"))
       .join(arr.as("g2"), col("d2") === col("g2.doc"))

@@ -68,6 +68,10 @@ class LossSpec extends SparkSpec {
       assert(math.abs(Losses.ldam(v, lab,
         Array.fill(v.length)(0.0), s = 1.0) - Losses.ce(v, lab)) < 1e-12)
     }
+    // degenerate 1-class distribution: logSoftmax is 0 and the
+    // smoothing mass has no off-class — loss is exactly 0, not
+    // alpha*scores(0) (regression: the closed form assumed mass 1)
+    assert(Losses.smoothed(Array(5.0), 0) == 0.0)
     // BCE-with-logits == -log sigmoid(±x)
     val na = v.length - 1
     val x = v(na)

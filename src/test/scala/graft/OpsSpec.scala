@@ -124,6 +124,25 @@ class OpsSpec extends SparkSpec {
     small.zip(smallAgain).foreach { case (a, b) => assert(a.sameElements(b)) }
   }
 
+  test("signature kernels reject wrong-typed SQL arguments at analysis") {
+    graft.functions.SigFunctions.register(spark)
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    // wrong column type -> clean analysis error, not a Janino compile
+    // failure + per-row ClassCastException in the interpreted fallback
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sigs(42)").collect()
+    }
+    assert(msgs(e).contains("minhash_sigs expects a string argument"),
+      msgs(e))
+    // wrong literal type for the n argument -> clear message
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT ngram_shingles('a b c d', 3L)").collect()
+    }
+    assert(msgs(e2).contains("literal INT"), msgs(e2))
+  }
+
   test("narrow signatures == classic posting-table formulation") {
     // the round-4 narrow rewrite must be a pure plan change: recompute
     // both signature families the explode+groupBy way and assert
