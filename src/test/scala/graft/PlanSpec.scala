@@ -238,6 +238,19 @@ class PlanSpec extends SparkSpec {
       s"cosine projection not inside whole-stage codegen:\n${p.take(2000)}")
   }
 
+  test("minhash band self-join computes the signature kernel once (exchange reuse)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.DedupOps.minhashLshPairs(docs, "doc_id", "text", 0.5)
+    df.collect() // finalize AQE on this QueryExecution
+    val p = plan(df)
+    // both sides of the band-bucket self-join shuffle the SAME
+    // signature projection — the second side must read the first
+    // side's shuffle files (ReusedExchange / reused query stage), not
+    // re-run the per-doc kernel over the whole table
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"no exchange reuse in the band self-join:\n${p.take(3000)}")
+  }
+
   test("whole-stage codegen covers the relational operators") {
     val df = graft.queries.RelationalQueries.all("q1_agg")(spark, dir)
     df.collect() // let AQE finalize the plan
