@@ -66,6 +66,18 @@ object Bench {
     s
   }
 
+  /** Refresh a data dir's staleness lease. The /tmp sweep deletes
+    * COMPLETE corpus/cache dirs of other versions once their mtime is
+    * older than 2h; a concurrent bench still mid-read on such a dir
+    * would lose parquet files under its scans, so EVERY section that
+    * reads a dir touches it at its start, and every pipeline/scaling
+    * trial re-touches (one slow leg alone can approach the staleness
+    * age at large SCALE_FILES). One greppable call site per read. */
+  private def touchLease(path: String): Unit = {
+    new java.io.File(path).setLastModified(System.currentTimeMillis())
+    ()
+  }
+
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -95,8 +107,7 @@ object Bench {
       // the warm-up legs read the whole corpus too — refresh the lease
       // here as well, or the untouched window (last prior trial + both
       // warm-ups) can cross the 2h sweep age at large SCALE_FILES
-      new java.io.File(corpusPath)
-        .setLastModified(System.currentTimeMillis())
+      touchLease(corpusPath)
       val s = session(n, s"graft-scale-warm-$n")
       Pipeline.runFromTableDynamic(s, corpusPath).triples.count()
       s.stop()
@@ -105,8 +116,7 @@ object Bench {
       configs.map { n =>
         // refresh the corpus lease per trial: the slow leg alone can
         // approach the 2h sweep age at large SCALE_FILES
-        new java.io.File(corpusPath)
-          .setLastModified(System.currentTimeMillis())
+        touchLease(corpusPath)
         val s = session(n, s"graft-scale-$n")
         val r = time(Pipeline.runFromTableDynamic(s, corpusPath).triples.count())
         s.stop()
@@ -214,7 +224,7 @@ object Bench {
     // scaling/pipeline trial re-touches) — a concurrent bench's sweep
     // would otherwise delete a corpus mid-read once any single section
     // stretches past the 2h staleness age at large SCALE_FILES.
-    new java.io.File(corpusPath).setLastModified(System.currentTimeMillis())
+    touchLease(corpusPath)
     // 2: pipeline throughput at `cpus` (best of `trials`) — the
     // DYNAMIC-canon variant: the canonical map is mined from the corpus
     // (AliasMining + CC) inside the timed run, so canonicalization is
@@ -227,7 +237,7 @@ object Bench {
     def pipeTrial(): (Long, Double) = {
       spark.catalog.clearCache()
       System.gc()
-      new java.io.File(corpusPath).setLastModified(System.currentTimeMillis())
+      touchLease(corpusPath)
       time(Pipeline.runFromTableDynamic(spark, corpusPath).triples.count())
     }
     Pipeline.runFromTableDynamic(spark, corpusPath).triples.count() // warm
@@ -273,8 +283,8 @@ object Bench {
     }
     // lease touch — see the corpus dir above (the cold slice reads the
     // corpus dir too, so refresh both before this section)
-    new java.io.File(cachePath).setLastModified(System.currentTimeMillis())
-    new java.io.File(corpusPath).setLastModified(System.currentTimeMillis())
+    touchLease(cachePath)
+    touchLease(corpusPath)
     Pipeline.triplesFor(slice).count() // warm JIT for the cold shape
     val coldSecs = (1 to trials)
       .map(_ => time(Pipeline.triplesFor(slice).count())).map(_._2)
@@ -297,7 +307,7 @@ object Bench {
     // suffices.
     // refresh the corpus lease again — the scaling section alone can
     // run tens of minutes at larger SCALE_FILES
-    new java.io.File(corpusPath).setLastModified(System.currentTimeMillis())
+    touchLease(corpusPath)
     // floor of 3: with 2 trials per config one sustained CPU-steal
     // window (they last minutes here) can swallow BOTH trials of the
     // short leg and sink the recorded efficiency — 3 interleaved

@@ -55,14 +55,22 @@ object KgQueries {
     *    reference's `neg_step` dilation (w@H + H@w, w = tridiagonal
     *    band) iterated hard_neg_dist times reaches exactly the cells
     *    with |ds|+|de| <= dist;
-    *  - EASY negatives (all remaining grid cells) are dropped with
-    *    probability pos_cnt/easy_cnt per sentence — the reference's
-    *    `rand > pos_count/(1e-6+easy_count)` keep rule with the F13
-    *    partition-stable hash uniform instead of rand(seed), in EXACT
-    *    integer arithmetic: keep iff u_ppm * easy_cnt >= pos_cnt * 1e6.
-    *    (The reference's 1e-6 only guards division by zero; the
-    *    integer form never divides.) Dropped rows are the reference's
-    *    -100 ignore label — omitted here.
+    *  - EASY negatives (all remaining grid cells) are KEPT with
+    *    probability pos_cnt/(1e-6+easy_cnt) per sentence — the huge
+    *    easy pool is downsampled to roughly the positive count, which
+    *    is the point of negative sampling. The reference sets the
+    *    -100 ignore label where `rand > pos_count/(1e-6+easy_count)`
+    *    (span_utils.py:34-39), i.e. a cell SURVIVES iff
+    *    rand <= pos/(1e-6+easy); with the F13 partition-stable hash
+    *    uniform u = u_ppm/1e6 instead of rand(seed) that is, in EXACT
+    *    integer arithmetic (multiply through by 1e12, no division):
+    *    keep iff u_ppm * (easy_cnt * 1e6 + 1) <= pos_cnt * 1e12.
+    *    A positive-free sentence keeps (almost) no easy negative,
+    *    exactly like the reference. Dropped rows are the reference's
+    *    -100 ignore label — omitted here. (Round 4 initially shipped
+    *    the complement of this rule — keeping ~easy-pos cells — with
+    *    oracle and spec replicating the same inversion; all three
+    *    were flipped together.)
     *
     * Spans are exclusive-end like gold mentions; the span grid comes
     * from the native spans() Generator (F6) with the kernel's
@@ -136,7 +144,8 @@ object KgQueries {
       .withColumn("easy_cnt",
         sum(when(col("role") === "easy_neg", 1L).otherwise(0L)).over(w))
       .filter(col("role") =!= "easy_neg" ||
-        uPpm * col("easy_cnt") >= col("pos_cnt") * lit(1000000L))
+        uPpm * (col("easy_cnt") * lit(1000000L) + lit(1L)) <=
+          col("pos_cnt") * lit(1000000000000L))
       .select(col("docId"), col("sentId"), col("start"), col("end"),
         col("role"))
   }
@@ -425,7 +434,7 @@ object KgQueries {
          |WHERE role <> 'easy_neg' OR
          |  (('0x' || substr(md5(docId || '#' || sentId || '#' || "start"
          |      || '#' || "end" || '#42'), 1, 15))::BIGINT % 1000000)
-         |    * easy_cnt >= pos_cnt * 1000000
+         |    * (easy_cnt * 1000000 + 1) <= pos_cnt * 1000000000000
          |ORDER BY docId, sentId, "start", "end"""".stripMargin,
     // P/R/F1 must be EXACTLY 1.0 against the closed-form gold, with
     // correct == npred == ngold == |gold| — computed from the gold side

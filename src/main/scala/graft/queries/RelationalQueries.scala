@@ -281,12 +281,16 @@ object RelationalQueries {
     val gold = li.filter(col("l_discount") > 0.05)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .withColumn("isG", lit(1L))
+    // the three sums coalesce to 0 so an EMPTY input yields the same
+    // (0, 0, 0, 0.0, 0.0, 0.0) row as the oracle's count(*)-based
+    // form — a NULL sum would slip past the npred=0 / ngold=0 guards
+    // below and emit NULL metrics
     val counts = pred.join(gold, Seq("l_orderkey", "l_partkey"), "full_outer")
       .agg(
-        sum(when(col("isP") === 1 && col("isG") === 1, 1L).otherwise(0L))
-          .as("correct"),
-        sum(coalesce(col("isP"), lit(0L))).as("npred"),
-        sum(coalesce(col("isG"), lit(0L))).as("ngold"))
+        coalesce(sum(when(col("isP") === 1 && col("isG") === 1, 1L)
+          .otherwise(0L)), lit(0L)).as("correct"),
+        coalesce(sum(coalesce(col("isP"), lit(0L))), lit(0L)).as("npred"),
+        coalesce(sum(coalesce(col("isG"), lit(0L))), lit(0L)).as("ngold"))
     val p = when(col("npred") === 0, lit(0.0))
       .otherwise(col("correct").cast("double") / col("npred"))
     val r = when(col("ngold") === 0, lit(0.0))

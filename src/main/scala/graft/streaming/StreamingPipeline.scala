@@ -113,9 +113,25 @@ object StreamingPipeline {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     files.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[SourceFileHashed], batchId: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (batch0: Dataset[SourceFileHashed], batchId: Long) =>
+        val spark = batch0.sparkSession
         import org.apache.spark.sql.functions._
+        import spark.implicits._
+        // ONE version per doc per batch: with maxFilesPerTrigger > 1 a
+        // doc re-ingested twice between triggers lands both versions in
+        // this micro-batch under a single batchId — the (docId,
+        // batchId) last-writer-wins at publish time cannot separate
+        // them, and the union of both versions' facts is wrong under
+        // any ordering. A file source gives no within-batch order, so
+        // the survivor is picked deterministically: max (commit,
+        // sha256). Across batches the batchId ordering still governs.
+        val vw = org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.core.DocId.column)
+          .orderBy(col("commit").desc, col("sha256").desc)
+        val batch = batch0.toDF()
+          .withColumn("__rn", row_number().over(vw))
+          .filter(col("__rn") === 1).drop("__rn")
+          .as[SourceFileHashed]
         val ments = graft.extract.Extract.mentionsFused(batch)
         // persist when two actions read it (the mentions write + the
         // canon->triples commit): unpersisted, each would re-run the
@@ -157,7 +173,9 @@ object StreamingPipeline {
     * per-batch parquet but never published a snapshot). A docId
     * re-ingested across batches contributes only its LATEST batch's
     * triples (last-writer-wins per doc, the same rule as
-    * [[publishSnapshotDynamic]]) — a bare union would keep stale
+    * [[publishSnapshotDynamic]]; within one micro-batch
+    * [[triplesStream]] keeps a single deterministically-chosen version
+    * per doc, so batchId granularity suffices) — a bare union would keep stale
     * triples whose facts vanished from the newer content. The one case
     * this path cannot resolve is a re-ingest whose new content yields
     * ZERO triples (no row records the doc was seen again); run
@@ -206,7 +224,9 @@ object StreamingPipeline {
     * edges. Extraction is NOT re-run — only canon+emit, over already-
     * linked mentions. A docId re-ingested across batches contributes
     * only its LATEST batch's mentions (last-writer-wins), matching a
-    * batch run over the current corpus state. */
+    * batch run over the current corpus state; within ONE micro-batch
+    * [[triplesStream]] keeps a single deterministically-chosen version
+    * per doc, so batchId granularity is sufficient here. */
   def publishSnapshotDynamic(spark: SparkSession, mentionsPath: String,
       tablePath: String, snapshotId: String): (Long, String) = {
     import spark.implicits._

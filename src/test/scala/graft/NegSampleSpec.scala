@@ -45,7 +45,9 @@ class NegSampleSpec extends SparkSpec {
       roled.foreach { case (st, e, role) =>
         val u = md5h60(
           s"${s.docId}#${s.sentId}#$st#$e#42") % 1000000L
-        if (role != "easy_neg" || u * easyCnt >= posCnt * 1000000L)
+        // keep iff u <= pos/(1e-6+easy), multiplied through by 1e12
+        if (role != "easy_neg" ||
+            u * (easyCnt * 1000000L + 1L) <= posCnt * 1000000000000L)
           out += ((s.docId, s.sentId, st, e, role))
       }
     })
@@ -73,6 +75,13 @@ class NegSampleSpec extends SparkSpec {
         (0 until s.n).map(st => math.min(s.n, st + 16) - st).sum }.sum
     assert(actual.size < univTotal,
       "no easy negative was dropped — the sampling predicate is inert")
+    // direction guard: the easy pool is DOWNSAMPLED to roughly the
+    // positive count (reference keeps an easy cell with probability
+    // ~pos/easy) — the kept easy set must be a small fraction of the
+    // grid, not its complement (the round-4 inversion kept ~all of it)
+    assert(roles("easy_neg") * 10 < univTotal,
+      s"easy negatives not downsampled: kept=${roles("easy_neg")} " +
+        s"of universe $univTotal")
   }
 
   test("sampler is deterministic across runs (partition-stable hash uniform)") {

@@ -30,6 +30,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("two versions of one doc in a SINGLE micro-batch: exactly one survives") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("stream-1batch").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val man = s"$tmp/man"
+    Extract.corpus(spark, 10).write.mode("overwrite").parquet(src)
+    // two NEW versions of file 0's doc; no maxFilesPerTrigger, so the
+    // whole source (original + both re-ingests) lands in ONE batch and
+    // the cross-batch (docId, batchId) last-writer-wins cannot help —
+    // the ingest itself must keep a single version per doc
+    val f0 = graft.core.CorpusGen.file(0).source
+    def ver(commit: String, contentFrom: Long) = {
+      val c = graft.core.CorpusGen.file(contentFrom).source.content
+      graft.core.SourceFileHashed(f0.repo, f0.path, commit, f0.lang, c,
+        graft.core.CorpusGen.sha256Hex(c))
+    }
+    val vA = ver("zzz-a", 91); val vB = ver("zzz-b", 92)
+    Seq(vA, vB).toDS().write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingPipeline.triplesStream(
+      spark.readStream.schema(schema).parquet(src)
+        .as[graft.core.SourceFileHashed],
+      out, man, s"$tmp/ckpt")
+    q.processAllAvailable(); q.stop()
+    val table = s"$tmp/graph"
+    StreamingPipeline.publishSnapshot(spark, out, table, "s0")
+    val pub = graft.sources.GraphTables.read(spark, table)
+      .select("subj", "pred", "obj", "docId")
+      .collect().map(_.toSeq).toSet
+    // the deterministic survivor is max (commit, sha256) = "zzz-b"
+    def batchOver(survivor: graft.core.SourceFileHashed) =
+      Pipeline.triplesFor(
+        Extract.corpus(spark, 10)
+          .filter(f => !(f.repo == f0.repo && f.path == f0.path))
+          .union(Seq(survivor).toDS()))
+        .select("subj", "pred", "obj", "docId")
+        .collect().map(_.toSeq).toSet
+    val want = batchOver(vB)
+    val loser = batchOver(vA)
+    assert(pub == want,
+      s"stale/missing: +${(pub -- want).take(3)} -${(want -- pub).take(3)}")
+    // and the published set is NOT the union with the losing version
+    val loserOnly = loser -- want
+    assert(loserOnly.nonEmpty,
+      "degenerate fixture: both versions yield identical facts")
+    assert(pub.intersect(loserOnly).isEmpty,
+      s"losing version's facts leaked into the publish: ${loserOnly.take(3)}")
+  }
+
   test("watermarked windowed aggregation over the events table") {
     val tmp = Files.createTempDirectory("stream-ev").toString
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
