@@ -154,7 +154,18 @@ object KgQueries {
     * reference data_util.py:437-466) over a genuinely nested mention
     * table (signature strictly contains function/identifier/type_ref).
     * Inner join: mentions with no enclosing span are omitted (keeps the
-    * result null-free for exact cross-engine compare). */
+    * result null-free for exact cross-engine compare).
+    *
+    * Two deliberate divergences from convert_trans, both unreachable
+    * or non-canonical there: (1) the reference's `j != i` admits a
+    * SAME-span entity of a different type as an encloser (non-strict
+    * containment); this engine requires a strictly larger span — the
+    * corpus has no same-span different-type mention pair (asserted by
+    * the gold grammar), so the outputs are identical. (2) the
+    * reference breaks minimal-length ties by entity FILE order, which
+    * no relational formulation can reconstruct; ties break here by the
+    * canonical (length, start, entType) order instead, mirrored in the
+    * oracle. */
   def nestingJoin(m: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val a = m.as("a"); val b = m.as("b")

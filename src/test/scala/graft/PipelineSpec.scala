@@ -35,6 +35,17 @@ class PipelineSpec extends SparkSpec {
     val m = StrictMetric.prf(dist, twin)
     assert(m.p == 1.0 && m.r == 1.0,
       s"parity broken: $m")
+    // nestingJoin's strict-containment predicate diverges from the
+    // reference's `j != i` ONLY for a same-span different-type mention
+    // pair — assert the grammar never produces one, so the divergence
+    // stays unreachable (see nestingJoin's scaladoc)
+    val sameSpanDiffType = dist
+      .groupBy("docId", "sentId", "start", "end")
+      .agg(org.apache.spark.sql.functions.countDistinct("entType").as("nt"))
+      .filter(org.apache.spark.sql.functions.col("nt") > 1)
+      .count()
+    assert(sameSpanDiffType == 0,
+      s"$sameSpanDiffType same-span different-type mention groups")
   }
 
   test("distributed CC == driver union-find") {
