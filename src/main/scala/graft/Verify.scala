@@ -30,13 +30,23 @@ object Verify {
     val goldDir = new java.io.File(outDir).getAbsolutePath
       .reverse.dropWhile(_ == '/').reverse + "_gold"
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // compute at FULL parallelism (persist + count), then coalesce
+      // only the WRITE to the single file the driver compare reads —
+      // coalesce(1) directly on the query plan would pull the whole
+      // computation (kernel, joins, windows) onto one thread, which
+      // dominated Verify wall-clock at the 10x scale re-runs.
+      // coalesce(1) over the cached partitions concatenates them in
+      // partition order, so the queries' total ORDER BY survives.
+      try {
+        val df = fn(spark, sfDir).persist()
+        df.count()
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally
         // queries that cache internally (dedup postings, LSH index)
-        // must not pin executor storage for the remaining queries
+        // must not pin executor storage for the remaining queries —
+        // this also releases the per-query persist above
         spark.catalog.clearCache()
     }
     // closed-form gold for the kg_* oracles (same corpus slice the
@@ -62,6 +72,20 @@ object Verify {
       // (K12) — same n/10 slice the query runs on
       w(Pipeline.goldSentences(spark,
         graft.queries.KgQueries.negSampleFiles(sfDir)), "sentences")
+      // K10 align_lookup: per-position memory encodings + per-query
+      // head transforms — the oracle replays similarity + argmax decode
+      // from these tables alone (same slice + query list as the query)
+      val nAlign = graft.queries.KgQueries.negSampleFiles(sfDir)
+      w(graft.kernel.Aligner.memTable(graft.extract.Extract.sentences(
+        graft.extract.Extract.corpus(spark, nAlign))), "align_mem")
+      w(graft.kernel.Aligner.queryTable(spark,
+        graft.queries.KgQueries.AlignQueries), "align_q")
+      // K11 loss_cells: the sequential twin's integerized loss table —
+      // the gold the distributed spanLosses plan is hash-compared to
+      w(graft.evalm.Losses.twinCells(nAlign)
+        .toDF("docId", "sentId", "start", "end", "label", "ce_e9",
+          "focal_e9", "smooth_e9", "ldam_e9", "na_bce_e9", "ent_ce_e9"),
+        "loss_cells")
       // LSH hyperplanes: the ann_lsh oracle recomputes bucket
       // assignment in DuckDB from this matrix
       w(graft.ops.SimilarityOps.defaultTables().zipWithIndex.flatMap {

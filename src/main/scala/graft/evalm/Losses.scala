@@ -230,4 +230,88 @@ object Losses {
         lit(TypeDict.naId).as("label"))
     spanLosses(files, posCells.unionByName(negCells), weights)
   }
+
+  /** The graded integer projection of a per-cell loss row: each loss
+    * floored at 1e9 resolution (`floor(x * 1e9)` — Spark's floor(double)
+    * and JVM Math.floor agree exactly, and LossSpec pins the underlying
+    * doubles bit-exact between the distributed table and the twin, so
+    * the floors can never straddle a boundary differently). */
+  val LossScale = 1e9
+
+  /** SEQUENTIAL TWIN of [[evalCorpus]] — same cell set, same kernel
+    * entry, same loss arithmetic, no Spark (the ReferenceScorer
+    * pattern: one shared code path per stage, driver-side loops for
+    * the rest). This is the GOLD side of the driver-graded
+    * `loss_cells` row: Verify dumps this table to parquet and the
+    * oracle is a plain ordered select over it, so the distributed
+    * spanLosses plan is integer-exactly hash-compared against a
+    * single-threaded recompute. */
+  def twinCells(nFiles: Long, weights: Weights = Weights.default)
+      : Seq[(String, Int, Int, Int, Int,
+        Long, Long, Long, Long, Long, Long)] = {
+    def md5h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val naId = TypeDict.naId
+    val files = (0L until nFiles).map(graft.core.CorpusGen.file)
+    // the same distinct the distributed side applies to gold mentions
+    val goldCells = files.flatMap(_.mentions)
+      .map(m => (m.docId, m.sentId, m.start, m.end, m.entType)).distinct
+    val posBySent = goldCells.groupBy(c => (c._1, c._2))
+      .map { case (k, cs) => k -> cs.map(c => (c._3, c._4)).toSet }
+    // K12 sampler, local mirror (KgQueries.sampleCells semantics —
+    // NegSampleSpec pins the distributed side against this same rule)
+    val negCells = files.flatMap(_.sents).flatMap { s =>
+      val ps = posBySent.getOrElse((s.docId, s.sentId),
+        Set.empty[(Int, Int)])
+      val univ = for {
+        st <- 0 until s.n
+        e <- (st + 1) to math.min(s.n, st + 16)
+      } yield (st, e)
+      val roled = univ.map { case (st, e) =>
+        val isPos = ps.contains((st, e))
+        val near = ps.exists { case (gs, ge) =>
+          (st - gs).abs + (e - ge).abs <=
+            graft.queries.KgQueries.HardNegDist }
+        (st, e, if (isPos) "pos" else if (near) "hard_neg" else "easy_neg")
+      }
+      val posCnt = roled.count(_._3 == "pos").toLong
+      val easyCnt = roled.count(_._3 == "easy_neg").toLong
+      roled.collect {
+        case (st, e, role)
+          if role != "pos" &&
+            (role != "easy_neg" ||
+              (md5h60(s"${s.docId}#${s.sentId}#$st#$e#42") % 1000000L) *
+                (easyCnt * 1000000L + 1L) <= posCnt * 1000000000000L) =>
+          (s.docId, s.sentId, st, e, naId)
+      }
+    }
+    val cells = goldCells.map(c =>
+      (c._1, c._2, c._3, c._4, TypeDict.typeToId(c._5))) ++ negCells
+    val bySent = cells.groupBy(c => (c._1, c._2))
+    def e9(x: Double): Long = math.floor(x * LossScale).toLong
+    val margins = Array.fill(TypeDict.numTypes + 1)(0.0)
+    files.flatMap { g =>
+      graft.extract.Tokenizer.sentences(
+        graft.core.DocId.of(g.source.repo, g.source.path),
+        g.source.content).flatMap { s =>
+        val cs = bySent.getOrElse((s.docId, s.sentId), Seq.empty)
+        if (cs.isEmpty) Seq.empty
+        else {
+          val sc = TriaffineScorer.classScores(s.tokens.toIndexedSeq,
+            s.pos.toIndexedSeq, s.ltokens.toIndexedSeq,
+            s.lpos.toIndexedSeq, s.rtokens.toIndexedSeq,
+            s.rpos.toIndexedSeq, weights, cs.map(c => (c._3, c._4)))
+          cs.zip(sc).map { case ((docId, sentId, st, e, lab), v) =>
+            (docId, sentId, st, e, lab,
+              e9(ce(v, lab)), e9(focal(v, lab)), e9(smoothed(v, lab)),
+              e9(ldam(v, lab, margins)), e9(naBce(v, lab, naId)),
+              e9(if (lab != naId) entCe(v, lab, naId) else 0.0))
+          }
+        }
+      }
+    }
+  }
 }

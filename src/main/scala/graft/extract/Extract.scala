@@ -102,6 +102,42 @@ object Extract {
       }
   }
 
+  /** ONE tokenize+score pass emitting, per sentence, its token count
+    * AND the scored mention spans — the producer for consumers that
+    * need the span UNIVERSE and the POSITIVE set together (K12
+    * negative sampling models the training-cell producer, so at
+    * corpus scale it is a hot path): deriving them from separate
+    * [[sentences]] + [[run]] calls would generate and tokenize the
+    * corpus twice, one of the passes paying the kernel again. Same
+    * skew-controlled repartition and per-file fused kernel entry as
+    * [[mentionsFused]] — one shuffle, one narrow stage. */
+  def sentenceSpans(files: Dataset[SourceFileHashed],
+      numPartitions: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(Weights.default)
+    val parts = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    files
+      .repartition(parts, xxhash64(col("repo"), col("path")))
+      .as[SourceFileHashed]
+      .mapPartitions { it =>
+        val w = bw.value
+        it.flatMap { f =>
+          val sents = Tokenizer.sentences(DocId.of(f.repo, f.path), f.content)
+          val bySent = TriaffineScorer.mentionsForFile(sents, w)
+            .groupBy(_.sentId)
+          sents.map { s =>
+            (s.docId, s.sentId, s.tokens.length,
+              bySent.getOrElse(s.sentId, Seq.empty)
+                .map(m => (m.start, m.end)))
+          }
+        }
+      }
+      .toDF("docId", "sentId", "n", "spans")
+  }
+
   /** Full extract: corpus -> mentions. */
   def run(spark: SparkSession, nFiles: Long): Dataset[Mention] =
     mentionsFused(corpus(spark, nFiles))

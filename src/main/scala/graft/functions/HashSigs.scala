@@ -197,6 +197,11 @@ trait StringKernelInput { self: UnaryExpression =>
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
+      // an untyped NULL literal (`minhash_sigs(NULL)`) keeps the
+      // null-in/null-out behavior nullSafeEval already implements —
+      // rejecting NullType here would fail analysis on a query that
+      // evaluated fine before the check existed
+      case NullType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"$kernelName expects a string argument, got ${other.simpleString}")
     }

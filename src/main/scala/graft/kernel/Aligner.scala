@@ -219,4 +219,58 @@ object Aligner {
     }.toDF("docId", "sentId", "query", "aligner_pos", "pointer_pos",
       "pbiaffine_pos")
   }
+
+  // ------------------------------------------------------------------
+  // Gold-dump tables for the driver-graded `align_lookup` oracle (the
+  // ann_lsh/ann_ivf pattern: the engine dumps its ENCODINGS and
+  // per-query head transforms; DuckDB independently replays the
+  // downstream decision arithmetic — the per-position dot products,
+  // the mask-free similarity rows, and the first-maximum argmax with
+  // its position tie-break — and must land on the same decoded
+  // positions). Both tables are dumped UNNESTED (one row per
+  // dimension) so the oracle needs no list functions.
+  // ------------------------------------------------------------------
+
+  /** Per (sentence, position, dim): the memory embedding component
+    * `vec` and the pointer head's memory transform `hm = (W_m m)[d]` —
+    * everything position-dependent the three similarity forms read. */
+  def memTable(sents: Dataset[Sentence], aw: AlignWeights = default(),
+      weights: Weights = Weights.default): DataFrame = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    val baw = spark.sparkContext.broadcast(aw)
+    val bw = spark.sparkContext.broadcast(weights)
+    sents.flatMap { s =>
+      val a = baw.value; val w = bw.value
+      val mem = memoryOf(s, w)
+      mem.indices.flatMap { p =>
+        val hm = matVec(a.wM, mem(p))
+        mem(p).indices.map(d => (s.docId, s.sentId, p, d, mem(p)(d), hm(d)))
+      }
+    }.toDF("docId", "sentId", "pos", "d", "vec", "hm")
+  }
+
+  /** Per (query, dim): the query-side head transforms —
+    * `h = ReLU(W q)` (aligner), `hq = W_h q` and the global `v`
+    * (pointer), `tqb = (Tri q)[d] + bi0[d]` and the scalar
+    * `qterm = bi1·q + uni` (pbiaffine) — so the oracle's similarity
+    * per position is sum over d of elementwise products only:
+    * aligner = Σ h·vec; pointer = Σ v·tanh(hq+hm);
+    * pbiaffine = Σ tqb·vec + qterm. */
+  def queryTable(spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[String], aw: AlignWeights = default(),
+      weights: Weights = Weights.default): DataFrame = {
+    import spark.implicits._
+    queries.flatMap { q =>
+      val qv = queryVec(q, weights)
+      val h = matVec(aw.wLin, qv)
+      var i = 0
+      while (i < h.length) { if (h(i) < 0.0) h(i) = 0.0; i += 1 }
+      val hq = matVec(aw.wH, qv)
+      val tq = matVec(aw.tri, qv)
+      val qterm = dot(aw.bi1, qv) + aw.uni
+      qv.indices.map(d =>
+        (q, d, h(d), hq(d), tq(d) + aw.bi0(d), aw.v(d), qterm))
+    }.toDF("query", "d", "h", "hq", "tqb", "v", "qterm")
+  }
 }

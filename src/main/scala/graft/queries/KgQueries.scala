@@ -44,6 +44,14 @@ object KgQueries {
   val HardNegDist = 2
   private val NegSampleSeed = 42
 
+  /** Fixed query aliases for the K10 driver-graded soft lookup —
+    * planted identifiers, so most sentences contain real matches.
+    * Verify dumps the engine's encodings/head transforms for exactly
+    * this list (align_q) next to the per-position memory table
+    * (align_mem); the oracle replays the similarity + argmax decode
+    * from those tables alone. */
+  val AlignQueries: Seq[String] = graft.core.Vocab.idents.take(8)
+
   /** K12 negative sampling (reference span_utils.py:4-40) as a
     * relational plan over the engine's own extraction:
     *
@@ -88,11 +96,20 @@ object KgQueries {
     * broadcast. */
   private def negSample(s: SparkSession, d: String): DataFrame = {
     val n = negSampleFiles(d)
-    val sents = Extract.sentences(Extract.corpus(s, n))
-      .select(col("docId"), col("sentId"), size(col("tokens")).as("n"))
-    // the label input: the engine's own extraction
-    val positives = Extract.run(s, n).toDF()
-      .select(col("docId"), col("sentId"), col("start"), col("end"))
+    // ONE corpus pass (round-4 finding): the fused tokenize+score
+    // producer emits sentence lengths AND positive spans together,
+    // materialized once (localCheckpoint) and read by both the span
+    // universe and the label side — the previous shape ran
+    // Extract.sentences AND Extract.run, i.e. two generator+tokenizer
+    // passes with one paying the kernel twice over the same corpus.
+    // PlanSpec pins the single generation (no corpus source node may
+    // remain in the final plan).
+    val cells = Extract.sentenceSpans(Extract.corpus(s, n)).localCheckpoint()
+    val sents = cells.select(col("docId"), col("sentId"), col("n"))
+    val positives = cells
+      .select(col("docId"), col("sentId"), explode(col("spans")).as("sp"))
+      .select(col("docId"), col("sentId"),
+        col("sp._1").as("start"), col("sp._2").as("end"))
     sampleCells(sents, positives)
       .orderBy(col("docId"), col("sentId"), col("start"), col("end"))
   }
@@ -311,6 +328,37 @@ object KgQueries {
         .agg(concat_ws("|", array_sort(collect_list(col("m")))).as("line"))
         .orderBy(col("docId"), col("sentId"))),
     "neg_sample" -> (negSample _),
+    // K10 driver-graded: the Aligner soft dictionary lookup decoded
+    // over the negSample corpus slice. Integer-exact output (argmax
+    // positions, first-maximum tie-break); the oracle recomputes every
+    // similarity from the dumped encodings and must decode the same
+    // positions (AlignerSpec pins the top-2 margin floor that makes
+    // the cross-engine float summation order irrelevant).
+    "align_lookup" -> ((s, d) =>
+      graft.kernel.Aligner.alignTable(
+        Extract.sentences(Extract.corpus(s, negSampleFiles(d))),
+        AlignQueries)
+        .orderBy(col("docId"), col("sentId"), col("query"))),
+    // K11 driver-graded: the monitoring loss table of the default
+    // bundle over the closed-form labeled cell set (gold positives +
+    // the K12-sampled negatives), integerized at 1e9 resolution. The
+    // gold side is the SEQUENTIAL TWIN (Losses.twinCells — same cell
+    // set, same kernel entry, driver-side loops), dumped by Verify;
+    // LossSpec carries the bit-exact double claim underneath.
+    "loss_cells" -> ((s, d) => {
+      import graft.evalm.Losses
+      val sc = lit(Losses.LossScale)
+      Losses.evalCorpus(s, negSampleFiles(d))
+        .select(col("docId"), col("sentId"), col("start"), col("end"),
+          col("label"),
+          floor(col("ce") * sc).as("ce_e9"),
+          floor(col("focal") * sc).as("focal_e9"),
+          floor(col("smooth") * sc).as("smooth_e9"),
+          floor(col("ldam") * sc).as("ldam_e9"),
+          floor(col("na_bce") * sc).as("na_bce_e9"),
+          floor(col("ent_ce") * sc).as("ent_ce_e9"))
+        .orderBy(col("docId"), col("sentId"), col("start"), col("end"))
+    }),
     "kg_eval" -> ((s, d) => {
       val n = nFilesFor(d)
       val st = Pipeline.run(s, n)
@@ -446,6 +494,40 @@ object KgQueries {
          |  (('0x' || substr(md5(docId || '#' || sentId || '#' || "start"
          |      || '#' || "end" || '#42'), 1, 15))::BIGINT % 1000000)
          |    * (easy_cnt * 1000000 + 1) <= pos_cnt * 1000000000000
+         |ORDER BY docId, sentId, "start", "end"""".stripMargin,
+    // K10: every similarity recomputed from the dumped per-dimension
+    // tables (align_mem: memory embedding + pointer memory transform
+    // per position; align_q: per-query head transforms), then the
+    // first-maximum argmax with the position tie-break — ties in the
+    // engine are EXACT float ties (identical tokens -> identical
+    // vectors), which are exact ties here too, so both engines break
+    // them by position identically. tanh is spelled in the
+    // overflow-stable form 1 - 2/(exp(2x)+1) (this DuckDB build has
+    // exp but no tanh).
+    "align_lookup" ->
+      s"""WITH sims AS (
+         |  SELECT m.docId, m.sentId, q.query, m.pos,
+         |    sum(q.h * m.vec) AS sa,
+         |    sum(q.v * (1 - 2 / (exp(2 * (q.hq + m.hm)) + 1))) AS sp,
+         |    sum(q.tqb * m.vec) + max(q.qterm) AS sb
+         |  FROM read_parquet('__GOLDDIR__/align_mem/*.parquet') m
+         |  JOIN read_parquet('__GOLDDIR__/align_q/*.parquet') q
+         |    ON m.d = q.d
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT docId, sentId, query,
+         |  CAST(first(pos ORDER BY sa DESC, pos) AS INTEGER) AS aligner_pos,
+         |  CAST(first(pos ORDER BY sp DESC, pos) AS INTEGER) AS pointer_pos,
+         |  CAST(first(pos ORDER BY sb DESC, pos) AS INTEGER)
+         |    AS pbiaffine_pos
+         |FROM sims GROUP BY 1, 2, 3
+         |ORDER BY docId, sentId, query""".stripMargin,
+    // K11: the gold is the sequential twin's table — the oracle is a
+    // plain ordered select, so the hash compare pins the DISTRIBUTED
+    // loss plan against the single-threaded recompute integer-exactly
+    "loss_cells" ->
+      s"""SELECT docId, sentId, "start", "end", label, ce_e9, focal_e9,
+         |  smooth_e9, ldam_e9, na_bce_e9, ent_ce_e9
+         |FROM ${gold("loss_cells")}
          |ORDER BY docId, sentId, "start", "end"""".stripMargin,
     // P/R/F1 must be EXACTLY 1.0 against the closed-form gold, with
     // correct == npred == ngold == |gold| — computed from the gold side

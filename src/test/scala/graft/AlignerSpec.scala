@@ -89,6 +89,44 @@ class AlignerSpec extends SparkSpec {
       Aligner.pointerSim(q, mem, mask, a2).toSeq)
   }
 
+  test("align_lookup decode margins dwarf cross-engine float noise") {
+    // the oracle recomputes each similarity as an UNORDERED SQL sum of
+    // the same per-dimension products (plus an exp-based tanh), so its
+    // values can drift from the engine's left-to-right sums by ~1e-15.
+    // A similarity row is a per-POSITION function of the token alone,
+    // so the worst-case argmax margin over ANY sentence of the graded
+    // slice is the minimum STRICT gap between two distinct tokens'
+    // scores (exact ties — identical tokens — tie-break by position
+    // identically in both engines). Pin that floor at 1e-9: a million
+    // times the summation-order noise.
+    val queries = graft.queries.KgQueries.AlignQueries
+    val toks = (0L until 1500L).flatMap(id =>
+      sentencesOf(id).flatMap(_.tokens.take(Tokenizer.maxSentLen))).distinct
+    assert(toks.size > 50, s"only ${toks.size} distinct tokens")
+    val mems = toks.map(t => Aligner.memoryOf(
+      graft.core.Sentence("d", 0, Vector(t), Vector("X"),
+        Vector.empty, Vector.empty, Vector.empty, Vector.empty), w)(0))
+    var minGap = Double.MaxValue
+    queries.foreach { qs =>
+      val q = Aligner.queryVec(qs, w)
+      val mask = Array(true)
+      Seq[(Array[Double], Array[Array[Double]], Array[Boolean],
+          Aligner.AlignWeights) => Array[Double]](
+        Aligner.alignerSim, Aligner.pointerSim, Aligner.pbiaffineSim)
+        .foreach { head =>
+          val scores = mems.map(m => head(q, Array(m), mask, aw)(0)).sorted
+          var i = 1
+          while (i < scores.length) {
+            val gap = scores(i) - scores(i - 1)
+            if (gap > 0 && gap < minGap) minGap = gap
+            i += 1
+          }
+        }
+    }
+    assert(minGap > 1e-9,
+      s"top-2 margin $minGap too small for an integer-exact decode")
+  }
+
   test("distributed alignment table == local recompute, exactly") {
     import spark.implicits._
     val queries = Vocab.idents.take(4)

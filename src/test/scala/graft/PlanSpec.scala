@@ -183,6 +183,25 @@ class PlanSpec extends SparkSpec {
       s"span-key shuffle found in:\n${p.take(3000)}")
   }
 
+  test("neg_sample plans exactly one corpus generation (single fused scan)") {
+    val df = graft.queries.KgQueries.all("neg_sample")(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the universe and the positives both derive from ONE fused
+    // tokenize+score pass, materialized at construction
+    // (localCheckpoint): the final plan must contain NO corpus source
+    // node at all — a Range root would mean a branch regenerates the
+    // corpus (the round-4 shape ran the generator+tokenizer twice,
+    // paying the kernel once more, over the same files)
+    assert(!p.contains("Range ("),
+      s"corpus generation found in the neg_sample plan:\n${p.take(3000)}")
+    // both branches scan the SAME checkpointed RDD (two scans, one
+    // generation) — the checkpoint scan must actually be there, or the
+    // assertion above is vacuous
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected checkpointed-RDD scans in:\n${p.take(3000)}")
+  }
+
   test("warm cache re-score is shuffle-free (one narrow scan to mentions)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("enc-plan").toString
