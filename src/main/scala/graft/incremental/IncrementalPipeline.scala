@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   * a full recompute of the new snapshot — asserted, including
   * modified and removed files, in IncrementalSpec.
   *
+  * Under a MINED (dynamic) canon map a delta is NOT doc-local — one
+  * new alias can relabel entities mentioned by unchanged docs. That
+  * path is served by [[graft.streaming.StreamingPipeline
+  * .publishSnapshotDynamicIncremental]]: deltas flow through the
+  * batchId-partitioned accumulation layout (batch users write one
+  * batch per snapshot — Bench's publish section does exactly that),
+  * the pair-refcount canon state bounds each publish to the delta
+  * plus the relabeled docs, and alias RETRACTION falls back to the
+  * full recompute.
+  *
   * Scale shape: change detection is one left_anti equi-join of
   * compact (repo, path, sha256) rows per side — no content ever
   * shuffles; extraction then runs only on the changed slice, and the

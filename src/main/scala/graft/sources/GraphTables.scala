@@ -55,6 +55,26 @@ object Fs {
     fs.exists(p) && fs.listStatus(p)
       .exists(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
   }
+
+  /** Replace `path` with the freshly-written `tmpPath` (rename old
+    * aside, rename tmp in, delete old) — the rewrite-compaction swap
+    * (accumulation compaction, manifest pruning). NOT atomic: a crash
+    * between the two renames leaves `path` absent with the data intact
+    * under `path__old` / `tmpPath` for manual recovery — acceptable for
+    * maintenance jobs run at quiescent points; a transactional table
+    * format owns this swap in production. */
+  def swapInto(spark: SparkSession, tmpPath: String, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmpPath)
+    val o = new org.apache.hadoop.fs.Path(path + "__old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(t), s"swapInto: missing tmp dir $tmpPath")
+    fs.delete(o, true)
+    if (fs.exists(p)) require(fs.rename(p, o), s"swapInto: cannot move $path aside")
+    require(fs.rename(t, p), s"swapInto: cannot move $tmpPath into place")
+    fs.delete(o, true)
+    ()
+  }
 }
 
 object GraphTables {
@@ -244,5 +264,43 @@ object GraphTables {
           else now - st.getModificationTime > orphanSafetyMs
         if (expire && fs.delete(st.getPath, true)) Some(id) else None
       }
+  }
+
+  /** Manifest pruning — the storage-hygiene twin of
+    * [[expireSnapshots]]: [[expireSnapshots]] deletes data dirs but
+    * appends nothing to the manifest, so at a snapshot per ingest the
+    * manifest grows one row per publish forever. This rewrites the
+    * manifest keeping every row of the `keepLast` most recently
+    * committed snapshotIds (same ordering and tie-break as
+    * [[latestSnapshot]]/[[expireSnapshots]], so the kept window is
+    * exactly the readable one — run it AFTER expireSnapshots with the
+    * same `keepLast`). Returns the pruned snapshot ids. A pruned id
+    * whose data dir still exists remains time-travel READABLE
+    * ([[readSnapshot]] probes the data dir first) but is now invisible
+    * to [[latestSnapshot]] and, being manifest-less, will be swept as
+    * an orphan by a later expireSnapshots once past the safety age.
+    * The rewrite goes through a tmp dir + [[Fs.swapInto]]. */
+  def pruneManifest(spark: SparkSession, path: String,
+      keepLast: Int): Seq[String] = {
+    val keep = math.max(1, keepLast)
+    val manPath = s"$path/manifest"
+    if (!Fs.exists(spark, manPath)) return Seq.empty
+    // materialize BEFORE the rewrite — the plan reads the dir the swap
+    // replaces
+    val m = spark.read.parquet(manPath).localCheckpoint()
+    val committed = m
+      .groupBy(col("snapshotId"))
+      .agg(max(col("committedAt")).as("committedAt"))
+      .orderBy(col("committedAt").desc, col("snapshotId").desc)
+      .select(col("snapshotId"))
+      .collect().map(_.getString(0)).toSeq
+    val keepIds = committed.take(keep)
+    val dropIds = committed.drop(keep)
+    if (dropIds.isEmpty) return Seq.empty
+    val tmp = s"${manPath}__prune"
+    m.filter(col("snapshotId").isin(keepIds: _*))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    Fs.swapInto(spark, tmp, manPath)
+    dropIds
   }
 }

@@ -125,6 +125,13 @@ object StreamingPipeline {
         // any ordering. A file source gives no within-batch order, so
         // the survivor is picked deterministically: max (commit,
         // sha256). Across batches the batchId ordering still governs.
+        // CONTRACT: this is determinism, not chronology — when the
+        // lexicographically larger (commit, sha256) is the OLDER
+        // version, the batch keeps the stale one. Deployments that
+        // need strict last-writer semantics must either separate
+        // versions into distinct batches (maxFilesPerTrigger=1) or
+        // carry a monotone ingest timestamp column in the source and
+        // put it first in this orderBy.
         val vw = org.apache.spark.sql.expressions.Window
           .partitionBy(graft.core.DocId.column)
           .orderBy(col("commit").desc, col("sha256").desc)
@@ -226,7 +233,14 @@ object StreamingPipeline {
     * only its LATEST batch's mentions (last-writer-wins), matching a
     * batch run over the current corpus state; within ONE micro-batch
     * [[triplesStream]] keeps a single deterministically-chosen version
-    * per doc, so batchId granularity is sufficient here. */
+    * per doc, so batchId granularity is sufficient here.
+    *
+    * Cost is O(accumulated corpus) EVERY publish — alias mining, CC,
+    * canon join, and emit all re-run over the full union. Prefer
+    * [[publishSnapshotDynamicIncremental]], which produces the
+    * identical snapshot at O(delta) cost whenever the ingest only adds
+    * alias evidence, and falls back to this full path (plus a state
+    * rewrite) when evidence is retracted. */
   def publishSnapshotDynamic(spark: SparkSession, mentionsPath: String,
       tablePath: String, snapshotId: String): (Long, String) = {
     import spark.implicits._
@@ -243,30 +257,7 @@ object StreamingPipeline {
       return graft.sources.GraphTables.write(
         spark.emptyDataset[graft.core.Triple].toDF(), tablePath, snapshotId)
     val all = spark.read.parquet(mentionsPath)
-    // last-writer-wins resolved on the union of the DOC ROSTER and the
-    // mention rows' own (docId, batchId) projection:
-    //  - the roster records every doc a batch TOUCHED, including a
-    //    re-ingest whose new content has zero linked mentions — mention
-    //    rows alone cannot say the doc was seen again, so max(batchId)
-    //    over mentions alone would keep the stale batch's mentions;
-    //  - mention rows cover batches accumulated BEFORE the roster
-    //    existed (a legacy accumulation resumed under this code has no
-    //    roster rows for those batches — joining against the roster
-    //    alone would silently drop every pre-roster doc; with no roster
-    //    dir at all the read itself would fail).
-    // The max over the union is the true latest touch in every case
-    // except a PRE-roster zero-mention re-ingest, which left no record
-    // of itself anywhere and is unknowable by construction.
-    val mentionTouches = all.select(col("docId"), col("batchId"))
-    val rosterP = rosterPath(mentionsPath)
-    val touched =
-      if (graft.sources.Fs.hasPartitions(spark, rosterP, "batchId="))
-        spark.read.parquet(rosterP).select(col("docId"), col("batchId"))
-          .unionByName(mentionTouches)
-      else mentionTouches
-    val latest = touched
-      .groupBy(col("docId"))
-      .agg(max(col("batchId")).as("batchId"))
+    val latest = latestTouches(spark, mentionsPath, all)
     val linked = all.join(latest, Seq("docId", "batchId"))
       .drop("batchId").persist()
     try {
@@ -279,6 +270,302 @@ object StreamingPipeline {
         .emitFused(canon.as[graft.triples.TripleEmit.CanonMention]).toDF()
       graft.sources.GraphTables.write(triples, tablePath, snapshotId)
     } finally { linked.unpersist(); () }
+  }
+
+  /** Latest (docId, batchId) touch per doc — last-writer-wins resolved
+    * on the union of the DOC ROSTER and the mention rows' own
+    * (docId, batchId) projection:
+    *  - the roster records every doc a batch TOUCHED, including a
+    *    re-ingest whose new content has zero linked mentions — mention
+    *    rows alone cannot say the doc was seen again, so max(batchId)
+    *    over mentions alone would keep the stale batch's mentions;
+    *  - mention rows cover batches accumulated BEFORE the roster
+    *    existed (a legacy accumulation resumed under this code has no
+    *    roster rows for those batches — joining against the roster
+    *    alone would silently drop every pre-roster doc; with no roster
+    *    dir at all the read itself would fail).
+    * The max over the union is the true latest touch in every case
+    * except a PRE-roster zero-mention re-ingest, which left no record
+    * of itself anywhere and is unknowable by construction. */
+  private def latestTouches(spark: SparkSession, mentionsPath: String,
+      all: DataFrame): DataFrame = {
+    val mentionTouches = all.select(col("docId"), col("batchId"))
+    val rosterP = rosterPath(mentionsPath)
+    val touched =
+      if (graft.sources.Fs.hasPartitions(spark, rosterP, "batchId="))
+        spark.read.parquet(rosterP).select(col("docId"), col("batchId"))
+          .unionByName(mentionTouches)
+      else mentionTouches
+    touched.groupBy(col("docId")).agg(max(col("batchId")).as("batchId"))
+  }
+
+  /** Accumulation compaction — the storage-hygiene half of the
+    * streamed mention table: every re-ingest leaves the doc's OLD
+    * rows behind in their `batchId=` partitions (publish resolves
+    * last-writer-wins at read time, so correctness never needed them
+    * gone), which grows the accumulation with total ingest volume
+    * instead of corpus size. This folds the layout down to each doc's
+    * LATEST rows — exactly the set every publish resolves —
+    * PRESERVING each surviving row's batchId partition value, so the
+    * publish delta floor (`lastBatchId`), the canon state's
+    * (docId -> batchId) pointers, and future last-writer-wins all stay
+    * valid. The roster is compacted the same way (a doc whose latest
+    * touch predates the roster keeps no roster row — its mention rows
+    * still record it, the legacy rule). Publish before == publish
+    * after (StreamingSpec). Runs through a tmp dir + [[graft.sources
+    * .Fs.swapInto]]; NOT concurrency-safe with a live stream writing
+    * new batches — run at a quiescent point (between triggers, after
+    * a backfill), like any table-maintenance job. */
+  def compactAccumulation(spark: SparkSession, mentionsPath: String): Unit = {
+    import graft.sources.Fs
+    if (!Fs.hasPartitions(spark, mentionsPath, "batchId=")) return
+    val all = spark.read.parquet(mentionsPath)
+    // materialize: read by both rewrites, and it must be computed
+    // before the swap replaces the dir it reads
+    val latest = latestTouches(spark, mentionsPath, all).localCheckpoint()
+    val tmpM = s"${mentionsPath}__compact"
+    all.join(latest, Seq("docId", "batchId"), "left_semi")
+      .write.mode("overwrite").partitionBy("batchId").parquet(tmpM)
+    val rosterP = rosterPath(mentionsPath)
+    val doRoster = Fs.hasPartitions(spark, rosterP, "batchId=")
+    if (doRoster) {
+      // written BEFORE either swap — this plan reads rosterP
+      spark.read.parquet(rosterP)
+        .join(latest, Seq("docId", "batchId"), "left_semi")
+        .write.mode("overwrite").partitionBy("batchId")
+        .parquet(s"${rosterP}__compact")
+    }
+    Fs.swapInto(spark, tmpM, mentionsPath)
+    if (doRoster) Fs.swapInto(spark, s"${rosterP}__compact", rosterP)
+  }
+
+  // ------------------------------------------------------------------
+  // DELTA-AWARE dynamic publish (incremental canonicalization)
+  // ------------------------------------------------------------------
+
+  /** Result of an incremental-capable publish: `incremental` says
+    * which path actually ran; `note` says why. */
+  final case class DynPublish(rows: Long, hash: String,
+      incremental: Boolean, note: String)
+
+  private def stateDir(statePath: String, snapshotId: String): String =
+    s"$statePath/snap=$snapshotId"
+
+  /** Canon state written NEXT TO each published snapshot (same
+    * commit discipline as GraphTables: state lands BEFORE the
+    * manifest row that commits the snapshot, so the state of an
+    * uncommitted publish is an orphan dir, never read):
+    *  - `canon`  — the snapshot's full mined canon map;
+    *  - `pairs`  — alias-pair refcounts (k, entity, ndocs) over the
+    *    snapshot's resolved corpus (IncrementalCanon.pairCounts);
+    *  - `docs`   — latest (docId, batchId) per doc at publish time;
+    *  - `meta`   — lastBatchId: the highest accumulated batch folded
+    *    into this snapshot (the next publish's delta floor). */
+  private def writeState(spark: SparkSession, statePath: String,
+      snapshotId: String, canon: DataFrame, pairs: DataFrame,
+      docs: DataFrame, lastBatchId: Long): Unit = {
+    import spark.implicits._
+    val d = stateDir(statePath, snapshotId)
+    canon.write.mode("overwrite").parquet(s"$d/canon")
+    pairs.write.mode("overwrite").parquet(s"$d/pairs")
+    docs.select(col("docId"), col("batchId").cast("long").as("batchId"))
+      .write.mode("overwrite").parquet(s"$d/docs")
+    Seq(lastBatchId).toDF("lastBatchId")
+      .write.mode("overwrite").parquet(s"$d/meta")
+  }
+
+  /** FULL dynamic publish that also writes canon state — the
+    * incremental path's base case (first publish) and its fallback
+    * (alias evidence retracted). Same stages as
+    * [[publishSnapshotDynamic]] plus the state write. */
+  private def fullDynamicPublish(spark: SparkSession, mentionsPath: String,
+      tablePath: String, snapshotId: String, statePath: String,
+      note: String): DynPublish = {
+    import spark.implicits._
+    if (!graft.sources.Fs.hasPartitions(spark, mentionsPath, "batchId=")) {
+      writeState(spark, statePath, snapshotId,
+        Seq.empty[(String, String)].toDF("entity", "canonical"),
+        Seq.empty[(String, String, Long)].toDF("k", "entity", "ndocs"),
+        Seq.empty[(String, Long)].toDF("docId", "batchId"), -1L)
+      val (n, h) = graft.sources.GraphTables.write(
+        spark.emptyDataset[graft.core.Triple].toDF(), tablePath, snapshotId)
+      return DynPublish(n, h, incremental = false, note)
+    }
+    val all = spark.read.parquet(mentionsPath)
+    val latest = latestTouches(spark, mentionsPath, all).localCheckpoint()
+    val linked = all.join(latest, Seq("docId", "batchId"))
+      .drop("batchId").persist()
+    try {
+      val canonMap = graft.Pipeline.dynamicCanonMap(spark, linked)
+        .localCheckpoint()
+      val canon = graft.Pipeline.canonicalize(linked, canonMap,
+        hintBroadcast =
+          canonMap.count() <= graft.Pipeline.BroadcastCanonMaxRows)
+      val triples = graft.triples.TripleEmit
+        .emitFused(canon.as[graft.triples.TripleEmit.CanonMention]).toDF()
+      val lastB = latest.agg(max(col("batchId")).cast("long")).head() match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
+      writeState(spark, statePath, snapshotId, canonMap,
+        graft.canon.IncrementalCanon.pairCounts(
+          graft.canon.IncrementalCanon.docPairs(linked)),
+        latest, lastB)
+      val (n, h) =
+        graft.sources.GraphTables.write(triples, tablePath, snapshotId)
+      DynPublish(n, h, incremental = false, note)
+    } finally { linked.unpersist(); () }
+  }
+
+  /** Incremental dynamic-canon publish: identical OUTPUT to
+    * [[publishSnapshotDynamic]] (asserted in StreamingSpec), with
+    * publish COST bounded by the ingest delta instead of the
+    * accumulated corpus whenever the delta only ADDS alias evidence.
+    *
+    * Per publish it processes: the delta's batch partitions
+    * (partition-pruned on `batchId > lastBatchId`), the superseded
+    * docs' old partitions (pruned to their recorded batchIds), the
+    * vocabulary-sized pair/canon state, a ~2-round seeded CC over the
+    * prior star forest, and the re-emit of CHANGED docs only —
+    * everything corpus-sized is either a columnar projection scan
+    * (the changed-entity doc probe reads two columns; a production
+    * deployment would bucket the accumulation by entity to make it an
+    * index lookup) or a copy-forward of the prior snapshot's
+    * unaffected triples.
+    *
+    * Falls back to the full recompute — same output, corpus-sized
+    * cost — when (a) no prior committed snapshot or no state for it
+    * exists, or (b) the delta RETRACTS alias evidence (a pair
+    * refcount hits zero: an edge removal can split a component,
+    * which seeding cannot express). The fallback rewrites fresh
+    * state, so one retraction never disables later incrementality. */
+  def publishSnapshotDynamicIncremental(spark: SparkSession,
+      mentionsPath: String, tablePath: String, snapshotId: String,
+      statePath: String): DynPublish = {
+    import spark.implicits._
+    import graft.canon.IncrementalCanon
+    import graft.sources.{Fs, GraphTables}
+    require(Fs.exists(spark, mentionsPath),
+      s"no mention accumulation at $mentionsPath — nothing was ever " +
+        "committed (triplesStream needs mentionsPath=Some(...))")
+    val prior =
+      if (Fs.exists(spark, s"$tablePath/manifest"))
+        GraphTables.latestSnapshot(spark, tablePath)
+      else None
+    val priorState = prior.map(id => stateDir(statePath, id))
+      .filter(d => Fs.exists(spark, s"$d/meta"))
+    if (prior.isEmpty || priorState.isEmpty)
+      return fullDynamicPublish(spark, mentionsPath, tablePath, snapshotId,
+        statePath,
+        if (prior.isEmpty) "first publish — no prior snapshot"
+        else s"no canon state for prior snapshot ${prior.get}")
+    val st = priorState.get
+    val lastB = spark.read.parquet(s"$st/meta").head().getLong(0)
+    val priorCanon = spark.read.parquet(s"$st/canon")
+    val priorPairs = spark.read.parquet(s"$st/pairs")
+    val priorDocs = spark.read.parquet(s"$st/docs")
+    val all = spark.read.parquet(mentionsPath)
+    // the DELTA: batches after the prior publish's floor — partition-
+    // pruned reads on both the mention accumulation and the roster
+    val deltaM = all.filter(col("batchId") > lastB)
+    val rosterP = rosterPath(mentionsPath)
+    val deltaTouches0 = (
+      if (Fs.hasPartitions(spark, rosterP, "batchId="))
+        spark.read.parquet(rosterP).select(col("docId"), col("batchId"))
+          .filter(col("batchId") > lastB)
+          .unionByName(deltaM.select(col("docId"), col("batchId")))
+      else deltaM.select(col("docId"), col("batchId")))
+      .groupBy(col("docId"))
+      .agg(max(col("batchId")).cast("long").as("batchId"))
+    val deltaLatest = deltaTouches0.localCheckpoint()
+    val newLastB = deltaLatest.agg(max(col("batchId"))).head() match {
+      case r if r.isNullAt(0) => lastB
+      case r => math.max(lastB, r.getLong(0))
+    }
+    if (deltaLatest.isEmpty) {
+      // nothing ingested since the prior publish: the new snapshot is
+      // a copy-forward of the prior one, state included
+      val kept = GraphTables.readSnapshot(spark, tablePath, prior.get)
+        .select(col("subj"), col("pred"), col("obj"), col("docId"),
+          col("score"))
+      writeState(spark, statePath, snapshotId, priorCanon, priorPairs,
+        priorDocs, lastB)
+      val (n, h) = GraphTables.write(kept, tablePath, snapshotId)
+      return DynPublish(n, h, incremental = true, "empty delta")
+    }
+    val deltaLinked = deltaM
+      .join(deltaLatest, Seq("docId", "batchId")).drop("batchId").persist()
+    try {
+      // superseded docs: delta docs the prior state already knew —
+      // their OLD pairs are the refcount decrements. Their old rows
+      // live in the batch partitions the prior state recorded, so the
+      // read is pruned to exactly those batchIds.
+      val superseded = priorDocs
+        .join(deltaLatest.select(col("docId")), Seq("docId"), "left_semi")
+        .localCheckpoint()
+      val oldBatchIds = superseded.select(col("batchId")).distinct()
+        .collect().map(_.getLong(0))
+      val oldMents =
+        if (oldBatchIds.isEmpty) deltaLinked.limit(0)
+        else all.filter(col("batchId").isin(oldBatchIds: _*))
+          .join(superseded, Seq("docId", "batchId"), "left_semi")
+      val pd = IncrementalCanon.mergePairs(priorPairs,
+        IncrementalCanon.docPairs(deltaLinked),
+        IncrementalCanon.docPairs(oldMents))
+      if (pd.removedCount > 0)
+        return fullDynamicPublish(spark, mentionsPath, tablePath,
+          snapshotId, statePath,
+          s"alias evidence retracted (${pd.removedCount} pairs) — " +
+            "full recanonicalization")
+      // seeded CC from the prior star forest + added-pair edges
+      val newCanon = IncrementalCanon
+        .seededCanonMap(priorCanon, priorPairs, pd.added).localCheckpoint()
+      val changed = IncrementalCanon.changedEntities(newCanon, priorCanon)
+      // docs OUTSIDE the delta whose triples the relabeling touches: a
+      // two-column projection scan of the accumulation (stale rows of
+      // superseded docs may over-select a doc — harmless, re-emission
+      // from its latest version is correct either way). The common
+      // no-novel-alias delta changes NO labels — probe the tiny
+      // changed set first and skip the corpus scan entirely then.
+      val affected =
+        if (changed.isEmpty)
+          deltaLatest.select(col("docId")).limit(0).localCheckpoint()
+        else all.select(col("docId"), col("entity"))
+          .join(changed, Seq("entity"), "left_semi")
+          .select(col("docId")).distinct()
+          .join(deltaLatest.select(col("docId")), Seq("docId"), "left_anti")
+          .localCheckpoint()
+      val affLatest = priorDocs.join(affected, Seq("docId"), "left_semi")
+      val affMents = all.join(affLatest, Seq("docId", "batchId"))
+        .drop("batchId")
+      val reMents = deltaLinked
+        .unionByName(affMents.select(deltaLinked.columns.map(col): _*))
+      val canon = graft.Pipeline.canonicalize(reMents, newCanon,
+        hintBroadcast =
+          newCanon.count() <= graft.Pipeline.BroadcastCanonMaxRows)
+      val newTriples = graft.triples.TripleEmit
+        .emitFused(canon.as[graft.triples.TripleEmit.CanonMention]).toDF()
+        .select(col("subj"), col("pred"), col("obj"), col("docId"),
+          col("score"))
+      val reDocs = deltaLatest.select(col("docId"))
+        .union(affected.select(col("docId"))).distinct()
+      val kept = GraphTables.readSnapshot(spark, tablePath, prior.get)
+        .select(col("subj"), col("pred"), col("obj"), col("docId"),
+          col("score"))
+        .join(reDocs, Seq("docId"), "left_anti")
+        .select(col("subj"), col("pred"), col("obj"), col("docId"),
+          col("score"))
+      val docsState = priorDocs
+        .join(deltaLatest.select(col("docId")), Seq("docId"), "left_anti")
+        .select(col("docId"), col("batchId"))
+        .unionByName(deltaLatest)
+      writeState(spark, statePath, snapshotId, newCanon, pd.merged,
+        docsState, newLastB)
+      val (n, h) = GraphTables.write(kept.unionByName(newTriples),
+        tablePath, snapshotId)
+      DynPublish(n, h, incremental = true,
+        "incremental (adds-only alias delta)")
+    } finally { deltaLinked.unpersist(); () }
   }
 
   /** Streaming exact-dedup by content fingerprint — the streaming

@@ -73,4 +73,51 @@ class CanonSpec extends SparkSpec {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     assert(ConnectedComponents.run(empty).count() == 0)
   }
+
+  test("seeded canon connects a new pair to a SINGLETON-key hub") {
+    import spark.implicits._
+    // the key "zkey" had ONE pair entity "bbb" before — a singleton is
+    // never an edge endpoint, so it is absent from the prior canon
+    // map. When "aaa" arrives under the same key, the seeded map must
+    // still relabel BOTH (node set includes edge endpoints, not just
+    // prior-map entities): dropping the hub would leave "bbb"
+    // self-canonical while "aaa" got the component minimum.
+    val priorCanon = Seq(("dictA", "dictA"), ("dictB", "dictA"))
+      .toDF("entity", "canonical")
+    val priorPairs = Seq(("zkey", "bbb", 1L)).toDF("k", "entity", "ndocs")
+    val added = Seq(("zkey", "aaa")).toDF("k", "entity")
+    val m = graft.canon.IncrementalCanon
+      .seededCanonMap(priorCanon, priorPairs, added)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("bbb") == "aaa" && m("aaa") == "aaa", m.toString)
+    // the prior forest is preserved untouched
+    assert(m("dictA") == "dictA" && m("dictB") == "dictA")
+  }
+
+  test("pair-refcount merge: adds, net-zero re-ingest, retraction, corruption") {
+    import spark.implicits._
+    val prior = Seq(("k1", "e1", 2L), ("k2", "e2", 1L))
+      .toDF("k", "entity", "ndocs")
+    // doc d9 re-ingested keeping (k1,e1): +1 here, -1 in dec = net zero;
+    // (k3,e3) is brand new; (k2,e2) loses its only doc = RETRACTION
+    val inc = Seq(("k1", "e1", "d9"), ("k3", "e3", "d9"))
+      .toDF("k", "entity", "docId")
+    val dec = Seq(("k1", "e1", "d9"), ("k2", "e2", "d2"))
+      .toDF("k", "entity", "docId")
+    val pd = graft.canon.IncrementalCanon.mergePairs(prior, inc, dec)
+    assert(pd.removedCount == 1L)
+    val merged = pd.merged.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged == Map(("k1", "e1") -> 2L, ("k3", "e3") -> 1L))
+    val added = pd.added.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(added == Set(("k3", "e3")))
+    // a decrement that was never counted = corrupted state, fails loudly
+    val badDec = Seq(("k9", "e9", "d1")).toDF("k", "entity", "docId")
+    val bad = intercept[Exception] {
+      graft.canon.IncrementalCanon.mergePairs(prior,
+        inc.limit(0), badDec).merged.collect()
+    }
+    assert(bad.getMessage.contains("refcount"), bad.getMessage)
+  }
 }

@@ -151,6 +151,39 @@ class GraphSinkSpec extends SparkSpec {
     assert(GraphTables.read(spark, tmp).count() == n3)
   }
 
+  test("pruneManifest: lineage window matches expireSnapshots, latest intact") {
+    val tmp = Files.createTempDirectory("graphprune").toString
+    // no manifest yet: a no-op, not a crash
+    assert(GraphTables.pruneManifest(spark, tmp, 2).isEmpty)
+    val st = Pipeline.run(spark, 40)
+    GraphTables.write(st.triples.filter(col("pred") === "calls"), tmp, "pr-1")
+    GraphTables.write(st.triples, tmp, "pr-2")
+    GraphTables.write(st.triples.limit(10), tmp, "pr-3")
+    GraphTables.write(st.triples.limit(3), tmp, "pr-4")
+    val n3 = GraphTables.readSnapshot(spark, tmp, "pr-3").count()
+    val n4 = GraphTables.readSnapshot(spark, tmp, "pr-4").count()
+    // expire first, then prune the manifest to the SAME window — the
+    // documented pairing (prune alone leaves readable-but-invisible
+    // data dirs behind for the next GC's orphan sweep)
+    GraphTables.expireSnapshots(spark, tmp, keepLast = 2)
+    val pruned = GraphTables.pruneManifest(spark, tmp, 2)
+    assert(pruned.toSet == Set("pr-1", "pr-2"), s"pruned $pruned")
+    // the kept window resolves exactly as before
+    assert(GraphTables.latestSnapshot(spark, tmp).contains("pr-4"))
+    assert(GraphTables.read(spark, tmp).count() == n4)
+    assert(GraphTables.readSnapshot(spark, tmp, "pr-3").count() == n3)
+    // a pruned id (data expired, manifest row gone) now fails as
+    // "not committed" — loudly, never an empty frame
+    intercept[IllegalStateException] {
+      GraphTables.readSnapshot(spark, tmp, "pr-1")
+    }
+    // nothing to prune on a second pass; publish-after-prune works
+    assert(GraphTables.pruneManifest(spark, tmp, 2).isEmpty)
+    GraphTables.write(st.triples.limit(1), tmp, "pr-5")
+    assert(GraphTables.latestSnapshot(spark, tmp).contains("pr-5"))
+    assert(GraphTables.read(spark, tmp).count() == 1L)
+  }
+
   test("resumable pipeline: restart computes only missing buckets") {
     val tmp = Files.createTempDirectory("respipe").toString
     val corpus = s"$tmp/corpus"; val out = s"$tmp/out"; val man = s"$tmp/man"

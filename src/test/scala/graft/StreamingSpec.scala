@@ -237,6 +237,124 @@ class StreamingSpec extends SparkSpec {
     assert(published2 == batchDyn2)
   }
 
+  test("incremental dynamic publish == full recompute (adds, merges, retraction fallback)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("stream-inccanon").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val man = s"$tmp/man"
+    val ments = s"$tmp/ments"; val table = s"$tmp/graph"
+    val state = s"$tmp/state"
+    def tset(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "docId").collect().map(_.toSeq).toSet
+    def pub(id: String) = StreamingPipeline
+      .publishSnapshotDynamicIncremental(spark, ments, table, id, state)
+    def published() = tset(graft.sources.GraphTables.read(spark, table))
+    def doc(path: String, commit: String, lines: String*) = {
+      val c = lines.mkString("\n")
+      graft.core.SourceFileHashed("increpo", path, commit, "scala", c,
+        graft.core.CorpusGen.sha256Hex(c))
+    }
+    // phase-1 plant: the SNAKE form only — a later batch's camel twin
+    // must relabel it, forcing a re-emit of this doc OUTSIDE the delta
+    val a0 = doc("A.scala", "c0",
+      "def runBase(a: Row): Txn = {", "y = valve_gamma_qq(x)")
+    Extract.corpus(spark, 30).union(Seq(a0).toDS())
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runStream(): Unit = {
+      val q = StreamingPipeline.triplesStream(
+        spark.readStream.option("maxFilesPerTrigger", "2").schema(schema)
+          .parquet(src).as[graft.core.SourceFileHashed],
+        out, man, s"$tmp/ckpt", mentionsPath = Some(ments))
+      q.processAllAvailable(); q.stop()
+    }
+    runStream()
+    val p1 = pub("inc-1")
+    assert(!p1.incremental && p1.note.contains("first publish"))
+    val files1 = Extract.corpus(spark, 30).union(Seq(a0).toDS())
+    assert(published() == tset(Pipeline.dynamicStagesFor(files1).triples))
+
+    // phase 2 (adds + a net-zero re-ingest): a NEW doc with the CAMEL
+    // twin (novel cross-batch alias merge), a NEW plain corpus doc,
+    // and a re-ingest of A.scala keeping its alias pair intact
+    val b = doc("B.scala", "c0",
+      "def runNovel(a: Row): Txn = {", "val valveGammaQq = 1")
+    val a1 = doc("A.scala", "c1",
+      "def runBase(a: Row): Txn = {", "y = valve_gamma_qq(x)",
+      "z = other_call(x)")
+    val extra = spark.range(30, 31)
+      .map(id => graft.core.CorpusGen.file(id).source)
+    Seq(b, a1).toDS().union(extra)
+      .write.mode("append").parquet(src)
+    runStream()
+    val p2 = pub("inc-2")
+    assert(p2.incremental, s"expected incremental, got: ${p2.note}")
+    val files2 = Extract.corpus(spark, 31).union(Seq(a1, b).toDS())
+    val full2 = tset(Pipeline.dynamicStagesFor(files2).triples)
+    assert(published() == full2,
+      s"+${(published() -- full2).take(3)} -${(full2 -- published()).take(3)}")
+    // the cross-batch merge really happened: the phase-1 snake
+    // call-site now rides the camel canonical — i.e. the relabeling
+    // re-emitted a doc the delta never touched
+    assert(published().exists(r =>
+      r.contains("valveGammaQq") && r.contains("increpo/A.scala")))
+    assert(!published().exists(_.contains("valve_gamma_qq")))
+    // and the incremental output == the full publish over the SAME
+    // accumulation (not just the batch pipeline twin)
+    StreamingPipeline.publishSnapshotDynamic(spark, ments,
+      s"$tmp/graphFull", "full-2")
+    assert(tset(graft.sources.GraphTables.read(spark, s"$tmp/graphFull"))
+      == published())
+
+    // phase 3 (retraction): re-ingest A.scala WITHOUT its alias pair —
+    // the refcount hits zero, the publish must fall back to the full
+    // recompute and still be exact
+    val a2 = doc("A.scala", "c2",
+      "def runBase(a: Row): Txn = {", "z = other_call(x)")
+    Seq(a2).toDS().write.mode("append").parquet(src)
+    runStream()
+    val p3 = pub("inc-3")
+    assert(!p3.incremental && p3.note.contains("retracted"), p3.note)
+    val files3 = Extract.corpus(spark, 31).union(Seq(a2, b).toDS())
+    assert(published() == tset(Pipeline.dynamicStagesFor(files3).triples))
+
+    // phase 4: the fallback rewrote fresh state — the next adds-only
+    // delta is incremental again
+    val c = doc("C.scala", "c0",
+      "def runMore(a: Row): Txn = {", "val valve_gamma_qq = 2")
+    Seq(c).toDS().write.mode("append").parquet(src)
+    runStream()
+    val p4 = pub("inc-4")
+    assert(p4.incremental, s"expected incremental, got: ${p4.note}")
+    val files4 = files3.union(Seq(c).toDS())
+    assert(published() == tset(Pipeline.dynamicStagesFor(files4).triples))
+
+    // phase 5: empty delta — publish is a pure copy-forward
+    val p5 = pub("inc-5")
+    assert(p5.incremental && p5.note.contains("empty delta"))
+    assert(published() == tset(Pipeline.dynamicStagesFor(files4).triples))
+
+    // phase 6: compaction folds the re-ingested doc's superseded rows
+    // away (strictly fewer accumulated rows), and publishes — both the
+    // full and the incremental path — read the compacted layout to the
+    // SAME result; a post-compaction delta stays incremental
+    val rowsBefore = spark.read.parquet(ments).count()
+    StreamingPipeline.compactAccumulation(spark, ments)
+    val rowsAfter = spark.read.parquet(ments).count()
+    assert(rowsAfter < rowsBefore,
+      s"compaction dropped nothing ($rowsBefore -> $rowsAfter)")
+    val p6 = pub("inc-6")
+    assert(p6.incremental && p6.note.contains("empty delta"))
+    assert(published() == tset(Pipeline.dynamicStagesFor(files4).triples))
+    val d = doc("D.scala", "c0",
+      "def runLast(a: Row): Txn = {", "val valveGammaQq = 3")
+    Seq(d).toDS().write.mode("append").parquet(src)
+    runStream()
+    val p7 = pub("inc-7")
+    assert(p7.incremental && p7.note.contains("adds-only"), p7.note)
+    val files5 = files4.union(Seq(d).toDS())
+    assert(published() == tset(Pipeline.dynamicStagesFor(files5).triples))
+  }
+
   test("dynamic publish of a LEGACY accumulation (no/partial roster) keeps every doc") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("stream-legacy").toString
