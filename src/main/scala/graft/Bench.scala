@@ -84,6 +84,42 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  // -- host-pressure capture (round-4 VERDICT: a contended trial must
+  // -- carry its CAUSE in the artifact, not just the symptom) --------
+
+  private def procStat(): Option[Array[Long]] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try Some(src.getLines().next().trim.split("\\s+").drop(1)
+        .map(_.toLong))
+      finally src.close()
+    } catch { case _: Throwable => None }
+
+  private def loadavg1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** CPU-steal share (%) between two /proc/stat snapshots — the
+    * firecracker host's interference signal. -1 when unreadable. */
+  private def stealPct(a: Option[Array[Long]], b: Option[Array[Long]])
+      : Double = (a, b) match {
+    case (Some(x), Some(y)) if x.length >= 8 && y.length >= 8 =>
+      val n = math.min(x.length, y.length)
+      val tot = (0 until n).map(i => y(i) - x(i)).sum
+      if (tot <= 0) -1.0 else 100.0 * (y(7) - x(7)) / tot
+    case _ => -1.0
+  }
+
+  /** Timed trial with host pressure: (result, sec, stealPct, load1). */
+  private def timedP[A](f: => A): (A, Double, Double, Double) = {
+    val ld = loadavg1()
+    val s0 = procStat()
+    val (a, sec) = time(f)
+    (a, sec, stealPct(s0, procStat()), ld)
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
@@ -100,8 +136,11 @@ object Bench {
     * best-of efficiency, median efficiency) — the artifact carries the
     * full trial lists, so an interference window is VISIBLE in the
     * JSON instead of masquerading as a scaling regression. */
+  private final case class ScRow(n: Int, triples: Long, secs: Seq[Double],
+      steals: Seq[Double], loads: Seq[Double])
+
   private def scalingRow(corpusPath: String, baseN: Int, nTrials: Int)
-      : (Seq[(Int, Long, Seq[Double])], Double, Double) = {
+      : (Seq[ScRow], Double, Double) = {
     val configs = Seq(baseN, 4 * baseN)
     configs.foreach { n =>
       // the warm-up legs read the whole corpus too — refresh the lease
@@ -118,29 +157,32 @@ object Bench {
         // approach the 2h sweep age at large SCALE_FILES
         touchLease(corpusPath)
         val s = session(n, s"graft-scale-$n")
-        val r = time(Pipeline.runFromTableDynamic(s, corpusPath).triples.count())
+        val r = timedP(
+          Pipeline.runFromTableDynamic(s, corpusPath).triples.count())
         s.stop()
-        (n, r._1, r._2)
+        (n, r._1, r._2, r._3, r._4)
       }
     }
     val rows = configs.map { n =>
       val rs = timed.filter(_._1 == n)
-      (n, rs.head._2, rs.map(_._3))
+      ScRow(n, rs.head._2, rs.map(_._3), rs.map(_._4), rs.map(_._5))
     }
     def effOf(f: Seq[Double] => Double): Double = {
-      val (nLo, cLo, tLo) = rows.head
-      val (nHi, cHi, tHi) = rows.last
-      ((cHi / f(tHi)) / (cLo / f(tLo))) / (nHi.toDouble / nLo)
+      val lo = rows.head; val hi = rows.last
+      ((hi.triples / f(hi.secs)) / (lo.triples / f(lo.secs))) /
+        (hi.n.toDouble / lo.n)
     }
     (rows, effOf(_.min), effOf(median))
   }
 
-  private def scRowJson(rows: Seq[(Int, Long, Seq[Double])]): String =
-    rows.map { case (n, cnt, secs) =>
-      val best = secs.min
-      s""""local_$n":{"triples":$cnt,"sec":$best,""" +
-        s""""sec_trials":${jArr(secs)},"sec_median":${median(secs)},""" +
-        s""""triples_per_sec":${cnt / best}}"""
+  private def scRowJson(rows: Seq[ScRow]): String =
+    rows.map { r =>
+      val best = r.secs.min
+      s""""local_${r.n}":{"triples":${r.triples},"sec":$best,""" +
+        s""""sec_trials":${jArr(r.secs)},"sec_median":${median(r.secs)},""" +
+        s""""steal_pct_trials":${jArr(r.steals)},""" +
+        s""""load1_trials":${jArr(r.loads)},""" +
+        s""""triples_per_sec":${r.triples / best}}"""
     }.mkString(",")
 
   /** Representative operator subset (full coverage runs in Verify). */
@@ -234,16 +276,28 @@ object Bench {
     // when their RDDs are garbage-collected — without the nudge,
     // storage accumulates across trials and later trials degrade into
     // eviction/spill churn (observed 20s -> 80s by trial 3).
-    def pipeTrial(): (Long, Double) = {
+    def pipeTrial(): (Long, Double, Double, Double) = {
       spark.catalog.clearCache()
       System.gc()
       touchLease(corpusPath)
-      time(Pipeline.runFromTableDynamic(spark, corpusPath).triples.count())
+      timedP(Pipeline.runFromTableDynamic(spark, corpusPath).triples.count())
     }
     Pipeline.runFromTableDynamic(spark, corpusPath).triples.count() // warm
-    val runs = (1 to trials).map(_ => pipeTrial())
+    var runs = (1 to trials).map(_ => pipeTrial())
+    // auto-extend: median/min > 1.5 means at least one trial landed in
+    // a contention window (BENCH_r04 recorded 2/4 such trials) — buy up
+    // to 2 extra trials so the artifact's median is not hostage to one
+    // bad window; the per-trial steal/load arrays carry the cause
+    // either way
+    var extended = 0
+    while (extended < 2 && runs.size > 1 &&
+        median(runs.map(_._2)) > 1.5 * runs.map(_._2).min) {
+      runs = runs :+ pipeTrial(); extended += 1
+    }
     val nTriples = runs.head._1
     val pipeSecs = runs.map(_._2)
+    val pipeSteal = runs.map(_._3)
+    val pipeLoad = runs.map(_._4)
     val tPipe = pipeSecs.min
     val tpsCpus = nTriples / tPipe
     // static-canon reference (the r1/r2-comparable number): same
@@ -294,6 +348,69 @@ object Bench {
     val warmSecs = warmRuns.map(_._2)
     val warmSec = warmSecs.min
     val cachedTriples = warmRuns.head._1
+
+    // 2c: delta-aware dynamic publish — the full re-canonicalization of
+    // an accumulated corpus vs the incremental publish of a ~1% ingest
+    // delta (round-4 VERDICT task 1b: publish cost must scale with the
+    // delta, not the accumulated corpus). The accumulation layout is
+    // synthesized directly (linked mentions + doc roster in batchId=
+    // partitions — the same layout triplesStream commits); both
+    // publishes include their GraphTables snapshot write. Untimed prep:
+    // extraction+linking of the base corpus. SPARK_GRAFT_SKIP_PUBLISH
+    // skips the section (pubJson degrades to absent).
+    val pubJson = if (sys.env.contains("SPARK_GRAFT_SKIP_PUBLISH")) ""
+    else {
+      val pubTmp = Files.createTempDirectory("graft_bench_pub").toString
+      val ments = s"$pubTmp/ments"; val state = s"$pubTmp/state"
+      val nBase = math.max(scaleFiles / 4, 2000L)
+      val nDelta = math.max(nBase / 100, 100L)
+      import org.apache.spark.sql.functions.lit
+      def writeBatch(a: Long, b: Long, batchId: Long): Unit = {
+        val fs = spark.range(a, b)
+          .map(id => graft.core.CorpusGen.file(id).source)
+        graft.link.Linker.link(
+          graft.extract.Extract.mentionsFused(fs)).toDF()
+          .withColumn("batchId", lit(batchId))
+          .write.mode("append").partitionBy("batchId").parquet(ments)
+        fs.toDF().select(graft.core.DocId.column.as("docId")).distinct()
+          .withColumn("batchId", lit(batchId))
+          .write.mode("append").partitionBy("batchId")
+          .parquet(graft.streaming.StreamingPipeline.rosterPath(ments))
+      }
+      writeBatch(0L, nBase, 0L)
+      // base publish (creates the canon state) — untimed prep
+      graft.streaming.StreamingPipeline.publishSnapshotDynamicIncremental(
+        spark, ments, s"$pubTmp/graph", "pub-0", state)
+      // two genuine delta publishes, each over a fresh 1% batch
+      val incrTrials = (1 to 2).map { i =>
+        writeBatch(nBase + (i - 1) * nDelta, nBase + i * nDelta, i.toLong)
+        spark.catalog.clearCache(); System.gc()
+        val r = timedP {
+          val p = graft.streaming.StreamingPipeline
+            .publishSnapshotDynamicIncremental(spark, ments,
+              s"$pubTmp/graph", f"pub-$i%02d", state)
+          require(p.incremental, s"expected incremental publish: ${p.note}")
+        }
+        (r._2, r._3)
+      }
+      // the full path over the SAME final accumulation (the pre-round-5
+      // publish cost), into a throwaway table
+      val fullTrials = (1 to 2).map { j =>
+        spark.catalog.clearCache(); System.gc()
+        val r = timedP(graft.streaming.StreamingPipeline
+          .publishSnapshotDynamic(spark, ments, s"$pubTmp/graphFull$j",
+            s"full-$j"))
+        (r._2, r._3)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pubTmp))
+      val iSecs = incrTrials.map(_._1); val fSecs = fullTrials.map(_._1)
+      s""""publish":{"files":$nBase,"delta_files":$nDelta,""" +
+        s""""incr_sec":${iSecs.min},"incr_sec_trials":${jArr(iSecs)},""" +
+        s""""incr_steal_pct_trials":${jArr(incrTrials.map(_._2))},""" +
+        s""""full_sec":${fSecs.min},"full_sec_trials":${jArr(fSecs)},""" +
+        s""""full_steal_pct_trials":${jArr(fullTrials.map(_._2))},""" +
+        s""""full_over_incr":${fSecs.min / iSecs.min}},"""
+    }
     spark.stop()
 
     // 3: scaling evidence, local[N] vs local[4N], same input.
@@ -314,7 +431,17 @@ object Bench {
     // trials ride it out at the cost of ~one extra local[N] run.
     // SPARK_GRAFT_SCALE_TRIALS overrides for quick local iteration.
     val scaleTrials = sys.env.get("SPARK_GRAFT_SCALE_TRIALS")
-      .map(_.toInt).getOrElse(math.max(3, trials / 2))
+      .map { v =>
+        // validate the override: a typo'd value would otherwise throw a
+        // bare NumberFormatException here, and 0/negative would make the
+        // trial range empty and crash scalingRow later at rs.head with
+        // an opaque NoSuchElementException
+        val n = try v.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SCALE_TRIALS must be a positive integer, got '$v'")
+        }
+        math.max(1, n)
+      }.getOrElse(math.max(3, trials / 2))
     val (scRows, eff, effMed) = scalingRow(corpusPath, scaleN, scaleTrials)
     // secondary proxy row (round-3 ADVICE): the local[2]->local[8]
     // ratio stays visible every round alongside the headline
@@ -349,7 +476,10 @@ object Bench {
         s""""sf":"$sfDir","triples_per_sec":$tpsCpus,""" +
         s""""pipeline":{"files":$scaleFiles,"triples":$nTriples,"sec":$tPipe,""" +
         s""""sec_trials":${jArr(pipeSecs)},"sec_median":${median(pipeSecs)},""" +
+        s""""steal_pct_trials":${jArr(pipeSteal)},""" +
+        s""""load1_trials":${jArr(pipeLoad)},""" +
         s""""triples_per_sec_median":${nTriples / median(pipeSecs)}},""" +
+        pubJson +
         s""""pipeline_static":{"sec":$tStatic,""" +
         s""""sec_trials":${jArr(staticSecs)},"sec_median":${median(staticSecs)},""" +
         s""""triples_per_sec":${nTriples / tStatic}},""" +
@@ -370,8 +500,8 @@ object Bench {
     try {
       new java.io.File("BENCH").mkdirs()
       Files.writeString(Paths.get("BENCH/bench_line.json"), line + "\n")
-      val tpsLo = scRows.head._2 / scRows.head._3.min
-      val tpsHi = scRows.last._2 / scRows.last._3.min
+      val tpsLo = scRows.head.triples / scRows.head.secs.min
+      val tpsHi = scRows.last.triples / scRows.last.secs.min
       val secTxt = secondary.map { case (n2, (_, eff2, effMed2)) =>
         s"| eff${n2}_${4 * n2}=${"%.3f".format(eff2)}" +
           s"/med ${"%.3f".format(effMed2)} "
