@@ -27,7 +27,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
-  "-XX:+UseParallelGC",
+  // ParallelGC benched fastest for the steady-state pipeline (round 1);
+  // SPARK_GC overrides for GC experiments (e.g. G1GC at probe scale).
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "ParallelGC")}",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
