@@ -338,4 +338,26 @@ object Weights {
     ema(base, perturbed(base, seed = 13L, std = 0.5), decay = 0.9,
       steps = 60)
   }
+
+  /** F8 — the reference's epoch weight scheduler
+    * (/root/reference/train_utils.py:228-234): `1 − (epoch/total)²`,
+    * "square" being the only method implemented there (anything else
+    * raises NotImplementedError; mirrored). In the reference this
+    * scales the span-loss weight per training epoch; it has no
+    * inference surface, so here it is the pure deterministic function
+    * itself — usable to re-weight snapshot/manifest epoch metadata —
+    * and the driver-graded `weight_schedule` query tabulates it
+    * against a DuckDB replay of the same IEEE expression tree
+    * (divide, multiply, subtract — each correctly rounded, so the
+    * engines agree bitwise; `r*r` vs python's `** 2` is ≤1 ulp). */
+  def weightSchedule(epochIdx: Int, totalEpoch: Int,
+                     method: String = "square"): Double = {
+    require(method == "square",
+      s"weight_scheduler method '$method' is not implemented " +
+        "(the reference raises NotImplementedError for everything " +
+        "but 'square')")
+    require(totalEpoch > 0, s"totalEpoch must be positive: $totalEpoch")
+    val r = epochIdx.toDouble / totalEpoch.toDouble
+    1.0 - r * r
+  }
 }

@@ -500,16 +500,22 @@ object KgQueries {
     // per position; align_q: per-query head transforms), then the
     // first-maximum argmax with the position tie-break — ties in the
     // engine are EXACT float ties (identical tokens -> identical
-    // vectors), which are exact ties here too, so both engines break
-    // them by position identically. tanh is spelled in the
-    // overflow-stable form 1 - 2/(exp(2x)+1) (this DuckDB build has
-    // exp but no tanh).
+    // vectors). For the tie-break to fire in DuckDB too, the per-
+    // dimension sums MUST be ordered (ORDER BY q.d): an unordered
+    // parallel sum adds the same summands in a run-dependent order,
+    // and at sf0.1 that turned an exact three-way tie into an
+    // arbitrary strict winner (pointer head, 1 cell of 152792 — the
+    // ordered sum makes identical summand sequences identical
+    // doubles, so ties stay exact and both engines break them by
+    // position). tanh is spelled in the overflow-stable form
+    // 1 - 2/(exp(2x)+1) (this DuckDB build has exp but no tanh).
     "align_lookup" ->
       s"""WITH sims AS (
          |  SELECT m.docId, m.sentId, q.query, m.pos,
-         |    sum(q.h * m.vec) AS sa,
-         |    sum(q.v * (1 - 2 / (exp(2 * (q.hq + m.hm)) + 1))) AS sp,
-         |    sum(q.tqb * m.vec) + max(q.qterm) AS sb
+         |    sum(q.h * m.vec ORDER BY q.d) AS sa,
+         |    sum(q.v * (1 - 2 / (exp(2 * (q.hq + m.hm)) + 1))
+         |        ORDER BY q.d) AS sp,
+         |    sum(q.tqb * m.vec ORDER BY q.d) + max(q.qterm) AS sb
          |  FROM read_parquet('__GOLDDIR__/align_mem/*.parquet') m
          |  JOIN read_parquet('__GOLDDIR__/align_q/*.parquet') q
          |    ON m.d = q.d

@@ -413,9 +413,31 @@ object RelationalQueries {
       col("l_quantity").cast("long"))
       .orderBy(col("flat_idx"))
 
+  // F8 — epoch weight scheduler (ref train_utils.py:228-234):
+  // 1 − (epoch/total)². The schedule table is GENERATED from the pure
+  // function (Weights.weightSchedule — the bundle_name precedent:
+  // query and mirror cannot drift) and joined to the epoch grid
+  // 0..T−1 derived from the driver's orders table; the DuckDB oracle
+  // replays the formula independently, so the driver grade pins the
+  // function against the reference semantics, not against itself.
+  // T = 30 mirrors the reference's typical train_epoch scale.
+  private val weightScheduleQ: Q = (s, d) => {
+    val T = 30
+    val sched = (0 until T)
+      .map(e => (e, T, graft.kernel.Weights.weightSchedule(e, T)))
+    val schedDf = s.createDataFrame(sched)
+      .toDF("epoch_idx", "total_epoch", "weight")
+    val grid = t(s, d, "orders")
+      .select(pmod(col("o_orderkey"), lit(T)).cast("int").as("epoch_idx"))
+      .distinct()
+    grid.join(broadcast(schedDf), Seq("epoch_idx"))
+      .orderBy(col("epoch_idx"))
+  }
+
   val all: Map[String, Q] = Map(
     "span_enum_gen" -> spanEnumGen,
     "bundle_name" -> bundleName,
+    "weight_schedule" -> weightScheduleQ,
     "scatter_add" -> scatterAddQ,
     "json_extract" -> jsonExtract,
     "anti_join" -> antiJoin,
@@ -498,6 +520,16 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "span_enum_gen" -> spanEnumOracle,
     "bundle_name" -> bundleNameOracle,
+    // F8 mirror: the formula replayed in DuckDB (same IEEE tree —
+    // divide, multiply, subtract — over the same integer operands)
+    "weight_schedule" ->
+      """SELECT epoch_idx, 30 AS total_epoch,
+        |  1.0 - (CAST(epoch_idx AS DOUBLE) / CAST(30 AS DOUBLE))
+        |      * (CAST(epoch_idx AS DOUBLE) / CAST(30 AS DOUBLE))
+        |    AS weight
+        |FROM (SELECT DISTINCT CAST(o_orderkey % 30 AS INT) AS epoch_idx
+        |      FROM orders)
+        |ORDER BY epoch_idx""".stripMargin,
     // F14 mirror: same row-major coefficients (100 = trailing-dim
     // size), HUGEINT sum cast back to BIGINT for the dtype compare
     "scatter_add" ->

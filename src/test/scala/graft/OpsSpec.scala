@@ -384,6 +384,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("weight schedule (F8): pinned vs reference, boundaries, monotone") {
+    import graft.kernel.Weights.weightSchedule
+    // expected values computed by running the reference's
+    // weight_scheduler (train_utils.py:228-234) on these inputs
+    // (python `(e/t) ** 2` vs scala `r * r`: identical on all pins)
+    val pinned = Seq(
+      (0, 30) -> 1.0,
+      (3, 7) -> 0.8163265306122449,
+      (10, 30) -> 0.8888888888888888,
+      (29, 30) -> 0.06555555555555559,
+      (30, 30) -> 0.0,
+      (7, 10) -> 0.51)
+    pinned.foreach { case ((e, t), exp) =>
+      assert(weightSchedule(e, t) == exp, s"weightSchedule($e, $t)")
+    }
+    // strictly decreasing over a full epoch range
+    val ws = (0 to 50).map(weightSchedule(_, 50))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a > b })
+    // the reference raises NotImplementedError for any other method
+    intercept[IllegalArgumentException](weightSchedule(1, 10, "linear"))
+    intercept[IllegalArgumentException](weightSchedule(1, 0))
+  }
+
   test("ptbClean/removeSpace match the reference chain bit-for-bit") {
     import spark.implicits._
     // expected strings computed by running the reference's clean()/
