@@ -23,14 +23,26 @@ import org.apache.spark.sql.functions._
   * xor-combined (order-independent), hex. (ResumableStage keeps its own
   * per-bucket variant over struct(sorted cols) — see Manifest.scala.) */
 object ContentHash {
-  def hex(df: DataFrame, cols: Seq[String]): (Long, String) = {
+  /** (rowCount, xor-combined xxhash64) as a raw Long — the form the
+    * DELTA-snapshot math needs: xor is order-independent AND
+    * self-inverse, so a snapshot differing from a base by (removed,
+    * added) row sets has hash
+    * `base ^ xorLong(removed) ^ xorLong(added)` — an O(delta)
+    * update of an O(corpus) fingerprint. */
+  def xorLong(df: DataFrame, cols: Seq[String]): (Long, Long) = {
     val r = df
       .withColumn("__h", xxhash64(cols.map(col): _*))
-      .agg(count(lit(1)),
-        format_string("%016x", coalesce(expr("bit_xor(__h)"), lit(0L))))
+      .agg(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L)))
       .head()
-    (r.getLong(0), r.getString(1))
+    (r.getLong(0), r.getLong(1))
   }
+
+  def hex(df: DataFrame, cols: Seq[String]): (Long, String) = {
+    val (n, x) = xorLong(df, cols)
+    (n, "%016x".format(x))
+  }
+
+  def parseHex(h: String): Long = java.lang.Long.parseUnsignedLong(h, 16)
 }
 
 /** THE Hadoop-FS existence probes for manifest/snapshot path checks
@@ -165,7 +177,8 @@ object GraphTables {
   def readSnapshot(spark: SparkSession, path: String,
       snapshotId: String): DataFrame = {
     val dir = snapDir(path, snapshotId)
-    if (hasPartitions(spark, dir)) spark.read.parquet(dir)
+    if (Fs.exists(spark, baseMetaDir(dir))) resolveOverlay(spark, path, dir)
+    else if (hasPartitions(spark, dir)) spark.read.parquet(dir)
     else {
       // probe the manifest's existence first (Manifest.committed
       // pattern): a consumer polling a fresh table must get the
@@ -189,6 +202,163 @@ object GraphTables {
           s"snapshot $snapshotId at $path is not committed")
       }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // DELTA (overlay) snapshots — O(delta) publish I/O
+  // ------------------------------------------------------------------
+
+  /** Sidecar dir marking a snapshot as an OVERLAY over a base
+    * snapshot. The underscore prefix keeps it invisible to the parquet
+    * reader's partition discovery over the same snap dir (the same
+    * rule that hides `_SUCCESS`/`_temporary`), so the overlay's own
+    * `pred=`/`bucket=` data and its chain metadata coexist in one dir
+    * and one GC unit. Rows: `('base', baseSnapshotId)` exactly once,
+    * plus `('removed', docId)` for every doc whose BASE rows this
+    * snapshot hides (always ≥ 1 row, so an empty-read probe is never
+    * needed). */
+  private def baseMetaDir(dir: String): String = s"$dir/_graft_base"
+
+  /** The base snapshot an overlay builds on; None for a full
+    * (self-contained) snapshot. */
+  def baseOf(spark: SparkSession, path: String,
+      snapshotId: String): Option[String] = {
+    val meta = baseMetaDir(snapDir(path, snapshotId))
+    if (!Fs.exists(spark, meta)) None
+    else Some(spark.read.parquet(meta).filter(col("kind") === "base")
+      .select(col("value")).head().getString(0))
+  }
+
+  /** Overlay-chain length above a snapshot (0 = full). Walks the base
+    * pointers; a cycle (corrupted sidecars) fails instead of looping. */
+  def chainDepth(spark: SparkSession, path: String,
+      snapshotId: String): Int = {
+    var id = snapshotId; var d = 0; var seen = Set.empty[String]
+    while (baseOf(spark, path, id).isDefined) {
+      require(!seen.contains(id), s"overlay chain cycle at snapshot $id")
+      seen += id; id = baseOf(spark, path, id).get; d += 1
+    }
+    d
+  }
+
+  private def resolveOverlay(spark: SparkSession, path: String,
+      dir: String): DataFrame = {
+    val meta = spark.read.parquet(baseMetaDir(dir))
+    val baseId = meta.filter(col("kind") === "base")
+      .select(col("value")).head().getString(0)
+    val removed = meta.filter(col("kind") === "removed")
+      .select(col("value").as("docId"))
+    val base = readSnapshot(spark,
+      path, baseId)
+    val overlay =
+      if (hasPartitions(spark, dir)) spark.read.parquet(dir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TableSchema)
+    val cols = TableSchema.fieldNames.map(col).toSeq
+    base.join(removed, Seq("docId"), "left_anti").select(cols: _*)
+      .unionByName(overlay.select(cols: _*))
+  }
+
+  /** Publish a snapshot as an OVERLAY over `baseSnapshotId`: write
+    * ONLY `added` (the re-emitted docs' triples) plus the sidecar
+    * naming the base and the hidden docs — publish I/O scales with the
+    * DELTA, not the corpus. The manifest row is exact nonetheless:
+    * `added` is read back from disk and fingerprinted, and the
+    * resolved snapshot's rowCount/contentHash derive from the base's
+    * committed row by xor algebra (see [[ContentHash.xorLong]]) —
+    * callers supply `(removedRows, removedHash)` over the base rows of
+    * exactly the `removedDocs` set (the publish state keeps per-doc
+    * fingerprints for this; GraphSinkSpec asserts the derived hash
+    * equals a from-scratch [[ContentHash.hex]] of the resolved read).
+    * Readers resolve the chain transparently ([[readSnapshot]]);
+    * [[expireSnapshots]]/[[pruneManifest]] keep base chains of kept
+    * snapshots alive; a chain is flattened by [[compactSnapshot]] or
+    * by the caller publishing full once depth exceeds its bound.
+    * Same commit discipline as [[write]]: data + sidecar land before
+    * the manifest row; a crash mid-publish leaves an orphan dir. */
+  def writeDelta(spark: SparkSession, path: String, snapshotId: String,
+      baseSnapshotId: String, added: DataFrame, removedDocs: DataFrame,
+      removedRows: Long, removedHash: Long): (Long, String) = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$path/manifest")
+      .filter(col("snapshotId") === baseSnapshotId)
+      .orderBy(col("committedAt").desc)
+      .select(col("rowCount"), col("contentHash")).limit(1)
+      .collect().headOption.getOrElse(throw new IllegalStateException(
+        s"overlay base $baseSnapshotId at $path is not committed"))
+    val dir = snapDir(path, snapshotId)
+    // data FIRST (static Overwrite wipes the dir, sidecar included —
+    // a republish of the same snapshotId replaces the overlay
+    // wholesale), sidecar second, manifest row last
+    added.withColumn("bucket", bucketCol(col("subj")))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("pred", "bucket").parquet(dir)
+    val (addN, addH) =
+      if (!hasPartitions(spark, dir)) (0L, 0L)
+      else ContentHash.xorLong(spark.read.parquet(dir),
+        Seq("subj", "pred", "obj", "docId"))
+    removedDocs.select(lit("removed").as("kind"), col("docId").as("value"))
+      .unionByName(Seq(("base", baseSnapshotId)).toDF("kind", "value"))
+      .write.mode(SaveMode.Overwrite).parquet(baseMetaDir(dir))
+    val n = base.getLong(0) - removedRows + addN
+    val h = ContentHash.parseHex(base.getString(1)) ^ removedHash ^ addH
+    require(n >= 0, s"overlay row count went negative ($n): removed " +
+      s"$removedRows from a base of ${base.getLong(0)} — the removed-doc " +
+      "stats do not describe this base")
+    val hex = "%016x".format(h)
+    Seq((n, hex, snapshotId, System.currentTimeMillis()))
+      .toDF("rowCount", "contentHash", "snapshotId", "committedAt")
+      .write.mode(SaveMode.Append).parquet(s"$path/manifest")
+    (n, hex)
+  }
+
+  /** A snapshot's OWN written rows, no chain resolution — for an
+    * overlay that is the delta data alone (what the publisher needs to
+    * fingerprint per re-emitted doc at O(delta) cost); for a full
+    * snapshot it is the whole thing. Empty-typed frame when the dir
+    * holds no data. */
+  def readOwnData(spark: SparkSession, path: String,
+      snapshotId: String): DataFrame = {
+    val dir = snapDir(path, snapshotId)
+    if (hasPartitions(spark, dir)) spark.read.parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TableSchema)
+  }
+
+  /** Flatten one overlay snapshot in place: resolve its chain and
+    * rewrite it as a FULL snapshot (manifest untouched — rowCount and
+    * contentHash are invariants of the resolved content, which is
+    * exactly what the overlay's manifest row already records; asserted
+    * in GraphSinkSpec). Frees its base for [[expireSnapshots]] and
+    * caps the read-side chain cost. No-op on a full snapshot. Goes
+    * through a tmp dir + [[Fs.swapInto]] — like the other maintenance
+    * rewrites, run at a quiescent point. */
+  def compactSnapshot(spark: SparkSession, path: String,
+      snapshotId: String): Boolean = {
+    val dir = snapDir(path, snapshotId)
+    if (!Fs.exists(spark, baseMetaDir(dir))) return false
+    val tmp = s"${dir}__compact"
+    readSnapshot(spark, path, snapshotId)
+      .select(col("subj"), col("obj"), col("docId"), col("score"),
+        col("pred"), col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("pred", "bucket").parquet(tmp)
+    Fs.swapInto(spark, tmp, dir)
+    true
+  }
+
+  /** Transitive closure of `ids` under overlay base pointers — the GC
+    * keep-set expansion: deleting the base of a kept overlay would
+    * turn [[readSnapshot]] of the kept id into a loud failure. */
+  private def withBaseChains(spark: SparkSession, path: String,
+      ids: Set[String]): Set[String] = {
+    var keep = ids; var frontier = ids
+    while (frontier.nonEmpty) {
+      val bases = frontier.flatMap(id => baseOf(spark, path, id)) -- keep
+      keep ++= bases; frontier = bases
+    }
+    keep
   }
 
   /** Out-edges of one canonical entity under one predicate — the
@@ -252,7 +422,9 @@ object GraphTables {
         .orderBy(col("committedAt").desc, col("snapshotId").desc)
         .select(col("snapshotId"))
         .collect().map(_.getString(0)).toSeq
-    val keepIds = committed.take(keep).toSet
+    // chain closure: an overlay's base must outlive it even when the
+    // base itself is beyond the keepLast window (or manifest-pruned)
+    val keepIds = withBaseChains(spark, path, committed.take(keep).toSet)
     val committedIds = committed.toSet
     val now = System.currentTimeMillis()
     fs.listStatus(dataP).toSeq
@@ -260,7 +432,8 @@ object GraphTables {
       .flatMap { st =>
         val id = st.getPath.getName.stripPrefix("snap=")
         val expire =
-          if (committedIds.contains(id)) !keepIds.contains(id)
+          if (keepIds.contains(id)) false
+          else if (committedIds.contains(id)) true
           else now - st.getModificationTime > orphanSafetyMs
         if (expire && fs.delete(st.getPath, true)) Some(id) else None
       }
@@ -294,8 +467,12 @@ object GraphTables {
       .orderBy(col("committedAt").desc, col("snapshotId").desc)
       .select(col("snapshotId"))
       .collect().map(_.getString(0)).toSeq
-    val keepIds = committed.take(keep)
-    val dropIds = committed.drop(keep)
+    // keep the base chains of kept overlays: a base manifest row is
+    // load-bearing for an empty base snapshot's read AND keeps the
+    // base dir from being swept as an orphan by a later GC
+    val keepIds = withBaseChains(spark, path,
+      committed.take(keep).toSet).toSeq
+    val dropIds = committed.filterNot(keepIds.contains)
     if (dropIds.isEmpty) return Seq.empty
     val tmp = s"${manPath}__prune"
     m.filter(col("snapshotId").isin(keepIds: _*))

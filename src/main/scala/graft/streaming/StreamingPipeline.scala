@@ -351,16 +351,73 @@ object StreamingPipeline {
   private def stateDir(statePath: String, snapshotId: String): String =
     s"$statePath/snap=$snapshotId"
 
-  /** Canon state written NEXT TO each published snapshot (same
-    * commit discipline as GraphTables: state lands BEFORE the
-    * manifest row that commits the snapshot, so the state of an
-    * uncommitted publish is an orphan dir, never read):
+  /** Canon-state GC — the state-side twin of
+    * [[graft.sources.GraphTables.expireSnapshots]]: every publish
+    * writes a `snap=` state dir (canon map + pair refcounts + per-doc
+    * fingerprints), and only the LATEST committed snapshot's state is
+    * ever read, so without expiry state storage grows with publish
+    * count × corpus vocabulary. Deletes state dirs that are
+    *  - for a COMMITTED snapshot beyond the `keepLast` most recent
+    *    (the latest is never deleted — same clamp and tie-break as
+    *    expireSnapshots, so the kept set always covers what
+    *    `latestSnapshot` resolves), or
+    *  - for NO committed snapshot (crashed publish) and older than
+    *    `orphanSafetyMs` — the age gate protects an in-flight publish
+    *    whose manifest append hasn't landed yet.
+    * Expiring a state dir never breaks correctness: a later publish
+    * finding no state for its prior snapshot falls back to the full
+    * recompute and rewrites fresh state. Returns deleted ids. */
+  def expireCanonState(spark: SparkSession, statePath: String,
+      tablePath: String, keepLast: Int,
+      orphanSafetyMs: Long = 6 * 3600 * 1000L): Seq[String] = {
+    val keep = math.max(1, keepLast)
+    val stateP = new org.apache.hadoop.fs.Path(statePath)
+    val fs = stateP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stateP)) return Seq.empty
+    val manP = s"$tablePath/manifest"
+    val committed: Seq[String] =
+      if (!graft.sources.Fs.exists(spark, manP)) Seq.empty
+      else spark.read.parquet(manP)
+        .groupBy(col("snapshotId"))
+        .agg(max(col("committedAt")).as("committedAt"))
+        .orderBy(col("committedAt").desc, col("snapshotId").desc)
+        .select(col("snapshotId"))
+        .collect().map(_.getString(0)).toSeq
+    val keepIds = committed.take(keep).toSet
+    val committedIds = committed.toSet
+    val now = System.currentTimeMillis()
+    fs.listStatus(stateP).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap="))
+      .flatMap { st =>
+        val id = st.getPath.getName.stripPrefix("snap=")
+        val expire =
+          if (keepIds.contains(id)) false
+          else if (committedIds.contains(id)) true
+          else now - st.getModificationTime > orphanSafetyMs
+        if (expire && fs.delete(st.getPath, true)) Some(id) else None
+      }
+  }
+
+  /** Canon state written NEXT TO each published snapshot:
     *  - `canon`  — the snapshot's full mined canon map;
     *  - `pairs`  — alias-pair refcounts (k, entity, ndocs) over the
     *    snapshot's resolved corpus (IncrementalCanon.pairCounts);
-    *  - `docs`   — latest (docId, batchId) per doc at publish time;
+    *  - `docs`   — per doc at publish time: latest (docId, batchId)
+    *    PLUS the doc's content fingerprint over the snapshot's
+    *    WRITTEN triples (nTriples, h64 = xor of the row hashes
+    *    [[graft.sources.ContentHash]] combines) — what lets the next
+    *    overlay publish derive the removed-rows hash of its re-emitted
+    *    docs from state instead of scanning the base snapshot;
     *  - `meta`   — lastBatchId: the highest accumulated batch folded
-    *    into this snapshot (the next publish's delta floor). */
+    *    into this snapshot (the next publish's delta floor).
+    *
+    * Ordering vs the snapshot commit: the per-doc fingerprints are
+    * computed from the data READ BACK off the committed snapshot, so
+    * state lands AFTER the manifest row. A crash in between leaves a
+    * committed snapshot with no state — `meta` is written last, the
+    * reader probes for it, and a missing/partial state simply routes
+    * the next publish through the full fallback, which rewrites fresh
+    * state. Nothing ever reads a half-written state. */
   private def writeState(spark: SparkSession, statePath: String,
       snapshotId: String, canon: DataFrame, pairs: DataFrame,
       docs: DataFrame, lastBatchId: Long): Unit = {
@@ -368,11 +425,33 @@ object StreamingPipeline {
     val d = stateDir(statePath, snapshotId)
     canon.write.mode("overwrite").parquet(s"$d/canon")
     pairs.write.mode("overwrite").parquet(s"$d/pairs")
-    docs.select(col("docId"), col("batchId").cast("long").as("batchId"))
+    docs.select(col("docId"), col("batchId").cast("long").as("batchId"),
+        col("nTriples").cast("long").as("nTriples"),
+        col("h64").cast("long").as("h64"))
       .write.mode("overwrite").parquet(s"$d/docs")
     Seq(lastBatchId).toDF("lastBatchId")
       .write.mode("overwrite").parquet(s"$d/meta")
   }
+
+  /** Per-doc content fingerprints of a written triple set — the same
+    * per-row hash [[graft.sources.ContentHash.xorLong]] xor-combines
+    * globally, grouped by doc: xor of the per-doc h64s == the
+    * snapshot's contentHash, which is what makes per-doc removal
+    * algebra exact. */
+  private def perDocStats(triples: DataFrame): DataFrame =
+    triples.withColumn("__h",
+        xxhash64(col("subj"), col("pred"), col("obj"), col("docId")))
+      .groupBy(col("docId"))
+      .agg(count(lit(1)).as("nTriples"),
+        expr("bit_xor(__h)").as("h64"))
+
+  /** `docs` frame carrying (nTriples, h64) for every doc in `latest`,
+    * zero-filled for docs that emitted no triples. */
+  private def docsWithStats(latest: DataFrame, stats: DataFrame): DataFrame =
+    latest.join(stats, Seq("docId"), "left")
+      .select(col("docId"), col("batchId"),
+        coalesce(col("nTriples"), lit(0L)).as("nTriples"),
+        coalesce(col("h64"), lit(0L)).as("h64"))
 
   /** FULL dynamic publish that also writes canon state — the
     * incremental path's base case (first publish) and its fallback
@@ -383,12 +462,13 @@ object StreamingPipeline {
       note: String): DynPublish = {
     import spark.implicits._
     if (!graft.sources.Fs.hasPartitions(spark, mentionsPath, "batchId=")) {
+      val (n, h) = graft.sources.GraphTables.write(
+        spark.emptyDataset[graft.core.Triple].toDF(), tablePath, snapshotId)
       writeState(spark, statePath, snapshotId,
         Seq.empty[(String, String)].toDF("entity", "canonical"),
         Seq.empty[(String, String, Long)].toDF("k", "entity", "ndocs"),
-        Seq.empty[(String, Long)].toDF("docId", "batchId"), -1L)
-      val (n, h) = graft.sources.GraphTables.write(
-        spark.emptyDataset[graft.core.Triple].toDF(), tablePath, snapshotId)
+        Seq.empty[(String, Long, Long, Long)]
+          .toDF("docId", "batchId", "nTriples", "h64"), -1L)
       return DynPublish(n, h, incremental = false, note)
     }
     val all = spark.read.parquet(mentionsPath)
@@ -407,41 +487,62 @@ object StreamingPipeline {
         case r if r.isNullAt(0) => -1L
         case r => r.getLong(0)
       }
+      val (n, h) =
+        graft.sources.GraphTables.write(triples, tablePath, snapshotId)
+      // per-doc fingerprints of the data ACTUALLY WRITTEN (read back),
+      // so the next overlay publish's removal algebra describes the
+      // durable base, not a recomputation of the input plan
       writeState(spark, statePath, snapshotId, canonMap,
         graft.canon.IncrementalCanon.pairCounts(
           graft.canon.IncrementalCanon.docPairs(linked)),
-        latest, lastB)
-      val (n, h) =
-        graft.sources.GraphTables.write(triples, tablePath, snapshotId)
+        docsWithStats(latest, perDocStats(
+          graft.sources.GraphTables.readOwnData(spark, tablePath,
+            snapshotId))),
+        lastB)
       DynPublish(n, h, incremental = false, note)
     } finally { linked.unpersist(); () }
   }
 
   /** Incremental dynamic-canon publish: identical OUTPUT to
     * [[publishSnapshotDynamic]] (asserted in StreamingSpec), with
-    * publish COST bounded by the ingest delta instead of the
-    * accumulated corpus whenever the delta only ADDS alias evidence.
+    * publish COST — compute AND I/O — bounded by the ingest delta
+    * instead of the accumulated corpus whenever the delta only ADDS
+    * alias evidence.
     *
-    * Per publish it processes: the delta's batch partitions
-    * (partition-pruned on `batchId > lastBatchId`), the superseded
-    * docs' old partitions (pruned to their recorded batchIds), the
-    * vocabulary-sized pair/canon state, a ~2-round seeded CC over the
-    * prior star forest, and the re-emit of CHANGED docs only —
-    * everything corpus-sized is either a columnar projection scan
-    * (the changed-entity doc probe reads two columns; a production
+    * Compute side: the delta's batch partitions (partition-pruned on
+    * `batchId > lastBatchId`), the superseded docs' old partitions
+    * (pruned to their recorded batchIds), the vocabulary-sized
+    * pair/canon state, a ~2-round seeded CC over the prior star
+    * forest, and the re-emit of CHANGED docs only — everything
+    * corpus-sized is a columnar projection scan at worst (the
+    * changed-entity doc probe reads two columns; a production
     * deployment would bucket the accumulation by entity to make it an
-    * index lookup) or a copy-forward of the prior snapshot's
-    * unaffected triples.
+    * index lookup).
+    *
+    * I/O side: the snapshot is published as an OVERLAY
+    * ([[graft.sources.GraphTables.writeDelta]]) — only the re-emitted
+    * docs' triples are written, the base's untouched rows are a
+    * pointer, and the manifest rowCount/contentHash are derived by
+    * xor algebra from the base's committed row plus per-doc
+    * fingerprints kept in the publish state. The prior path rewrote
+    * (and re-hashed) the ENTIRE corpus per publish, so "incremental"
+    * was O(delta) compute on top of O(corpus) I/O. Overlay chains are
+    * depth-bounded: once the prior chain reaches `maxChain`, this
+    * publish MATERIALIZES (full write of resolved content — the
+    * compaction), amortizing the corpus-sized write over `maxChain`
+    * deltas. Readers resolve chains transparently; GC keeps base
+    * chains of kept snapshots alive.
     *
     * Falls back to the full recompute — same output, corpus-sized
     * cost — when (a) no prior committed snapshot or no state for it
-    * exists, or (b) the delta RETRACTS alias evidence (a pair
+    * exists, (b) the prior state predates the per-doc-fingerprint
+    * layout, or (c) the delta RETRACTS alias evidence (a pair
     * refcount hits zero: an edge removal can split a component,
     * which seeding cannot express). The fallback rewrites fresh
     * state, so one retraction never disables later incrementality. */
   def publishSnapshotDynamicIncremental(spark: SparkSession,
       mentionsPath: String, tablePath: String, snapshotId: String,
-      statePath: String): DynPublish = {
+      statePath: String, maxChain: Int = 8): DynPublish = {
     import spark.implicits._
     import graft.canon.IncrementalCanon
     import graft.sources.{Fs, GraphTables}
@@ -464,6 +565,14 @@ object StreamingPipeline {
     val priorCanon = spark.read.parquet(s"$st/canon")
     val priorPairs = spark.read.parquet(s"$st/pairs")
     val priorDocs = spark.read.parquet(s"$st/docs")
+    if (!priorDocs.columns.contains("h64"))
+      return fullDynamicPublish(spark, mentionsPath, tablePath, snapshotId,
+        statePath, "prior state lacks per-doc content fingerprints " +
+          "(pre-overlay layout) — full republish refreshes it")
+    // depth gate decided UP FRONT: at maxChain the publish materializes
+    // the resolved content (corpus write, amortized) instead of
+    // growing the chain — this includes the empty-delta copy-forward
+    val priorDepth = GraphTables.chainDepth(spark, tablePath, prior.get)
     val all = spark.read.parquet(mentionsPath)
     // the DELTA: batches after the prior publish's floor — partition-
     // pruned reads on both the mention accumulation and the roster
@@ -484,13 +593,22 @@ object StreamingPipeline {
     }
     if (deltaLatest.isEmpty) {
       // nothing ingested since the prior publish: the new snapshot is
-      // a copy-forward of the prior one, state included
-      val kept = GraphTables.readSnapshot(spark, tablePath, prior.get)
-        .select(col("subj"), col("pred"), col("obj"), col("docId"),
-          col("score"))
+      // a copy-forward of the prior one, state included — a pure
+      // POINTER overlay (zero rows written) below the depth gate, a
+      // materializing rewrite at it
+      val (n, h) =
+        if (priorDepth + 1 <= maxChain)
+          GraphTables.writeDelta(spark, tablePath, snapshotId, prior.get,
+            spark.emptyDataset[graft.core.Triple].toDF(),
+            priorDocs.select(col("docId")).limit(0), 0L, 0L)
+        else {
+          val kept = GraphTables.readSnapshot(spark, tablePath, prior.get)
+            .select(col("subj"), col("pred"), col("obj"), col("docId"),
+              col("score"))
+          GraphTables.write(kept, tablePath, snapshotId)
+        }
       writeState(spark, statePath, snapshotId, priorCanon, priorPairs,
         priorDocs, lastB)
-      val (n, h) = GraphTables.write(kept, tablePath, snapshotId)
       return DynPublish(n, h, incremental = true, "empty delta")
     }
     val deltaLinked = deltaM
@@ -549,22 +667,47 @@ object StreamingPipeline {
           col("score"))
       val reDocs = deltaLatest.select(col("docId"))
         .union(affected.select(col("docId"))).distinct()
-      val kept = GraphTables.readSnapshot(spark, tablePath, prior.get)
-        .select(col("subj"), col("pred"), col("obj"), col("docId"),
-          col("score"))
-        .join(reDocs, Seq("docId"), "left_anti")
-        .select(col("subj"), col("pred"), col("obj"), col("docId"),
-          col("score"))
-      val docsState = priorDocs
-        .join(deltaLatest.select(col("docId")), Seq("docId"), "left_anti")
+        .localCheckpoint()
+      // removal algebra over the STATE's per-doc fingerprints —
+      // O(#docs) slim rows, never a scan of the base snapshot's data
+      val remRow = priorDocs.join(reDocs, Seq("docId"), "left_semi")
+        .agg(sum(col("nTriples")), expr("bit_xor(h64)")).head()
+      val removedRows = if (remRow.isNullAt(0)) 0L else remRow.getLong(0)
+      val removedHash = if (remRow.isNullAt(1)) 0L else remRow.getLong(1)
+      val (n, h, mode) =
+        if (priorDepth + 1 <= maxChain)
+          GraphTables.writeDelta(spark, tablePath, snapshotId, prior.get,
+            newTriples, reDocs, removedRows, removedHash) match {
+            case (n0, h0) => (n0, h0, "overlay")
+          }
+        else {
+          val kept = GraphTables.readSnapshot(spark, tablePath, prior.get)
+            .select(col("subj"), col("pred"), col("obj"), col("docId"),
+              col("score"))
+            .join(reDocs, Seq("docId"), "left_anti")
+            .select(col("subj"), col("pred"), col("obj"), col("docId"),
+              col("score"))
+          GraphTables.write(kept.unionByName(newTriples),
+            tablePath, snapshotId) match {
+            case (n0, h0) =>
+              (n0, h0, s"materialized at chain depth $priorDepth")
+          }
+        }
+      // re-emitted docs' fingerprints from the data actually written
+      // (overlay mode reads back only the delta rows); delta docs ride
+      // their new batchId, affected docs keep their prior one
+      val touchedBatch = priorDocs
+        .join(affected, Seq("docId"), "left_semi")
         .select(col("docId"), col("batchId"))
         .unionByName(deltaLatest)
+      val docsState = priorDocs.join(reDocs, Seq("docId"), "left_anti")
+        .select(col("docId"), col("batchId"), col("nTriples"), col("h64"))
+        .unionByName(docsWithStats(touchedBatch, perDocStats(
+          GraphTables.readOwnData(spark, tablePath, snapshotId))))
       writeState(spark, statePath, snapshotId, newCanon, pd.merged,
         docsState, newLastB)
-      val (n, h) = GraphTables.write(kept.unionByName(newTriples),
-        tablePath, snapshotId)
       DynPublish(n, h, incremental = true,
-        "incremental (adds-only alias delta)")
+        s"incremental (adds-only alias delta, $mode)")
     } finally { deltaLinked.unpersist(); () }
   }
 

@@ -184,6 +184,104 @@ class GraphSinkSpec extends SparkSpec {
     assert(GraphTables.read(spark, tmp).count() == 1L)
   }
 
+  test("overlay snapshots: delta-only write, chain-resolved read, exact derived hash, chain-safe GC") {
+    import spark.implicits._
+    import graft.sources.ContentHash
+    val tmp = Files.createTempDirectory("graphovl").toString
+    val HashCols = Seq("subj", "pred", "obj", "docId")
+    def rows(ts: (String, String, String)*) =
+      ts.map { case (s, o, d) => (s, "calls", o, d, 1.0) }
+        .toDF("subj", "pred", "obj", "docId", "score")
+    def tset(id: String) = GraphTables.readSnapshot(spark, tmp, id)
+      .select("subj", "pred", "obj", "docId").collect().map(_.toSeq).toSet
+    def manifestRow(id: String) = spark.read.parquet(s"$tmp/manifest")
+      .filter(col("snapshotId") === id)
+      .orderBy(col("committedAt").desc).select("rowCount", "contentHash")
+      .head() match { case r => (r.getLong(0), r.getString(1)) }
+    // the invariant every overlay must preserve: the manifest row
+    // DERIVED by xor algebra equals a from-scratch fingerprint of the
+    // chain-resolved content
+    def assertExactManifest(id: String): Unit = {
+      val want = ContentHash.hex(
+        GraphTables.readSnapshot(spark, tmp, id), HashCols)
+      assert(manifestRow(id) == want, s"derived manifest of $id drifted")
+    }
+
+    // full base A: d1 (2 rows), d2 (1), d3 (1)
+    val base = rows(("a", "x", "d1"), ("a", "y", "d1"), ("b", "x", "d2"),
+      ("c", "z", "d3"))
+    val (nA, _) = GraphTables.write(base, tmp, "ov-A")
+    assert(nA == 4)
+
+    // overlay B: re-emit d2 with new content, add doc d4 — writes ONLY
+    // those docs' rows; removal stats describe d2's base rows (what the
+    // publish state supplies from per-doc fingerprints)
+    val (remN, remH) = ContentHash.xorLong(
+      base.filter(col("docId").isin("d2", "d4")), HashCols)
+    val (nB, hB) = GraphTables.writeDelta(spark, tmp, "ov-B", "ov-A",
+      rows(("b", "w", "d2"), ("e", "q", "d4"), ("e", "r", "d4")),
+      Seq("d2", "d4").toDF("docId"), remN, remH)
+    assert(nB == 6)
+    assert(GraphTables.baseOf(spark, tmp, "ov-B").contains("ov-A"))
+    assert(GraphTables.chainDepth(spark, tmp, "ov-B") == 1)
+    assert(GraphTables.readOwnData(spark, tmp, "ov-B").count() == 3,
+      "an overlay must hold only the re-emitted docs' rows")
+    assert(tset("ov-B") == rows(("a", "x", "d1"), ("a", "y", "d1"),
+      ("b", "w", "d2"), ("c", "z", "d3"), ("e", "q", "d4"),
+      ("e", "r", "d4")).select("subj", "pred", "obj", "docId")
+      .collect().map(_.toSeq).toSet)
+    assertExactManifest("ov-B")
+    assert((nB, hB) == manifestRow("ov-B"))
+    // the latest-resolving read sees the overlay transparently
+    assert(GraphTables.read(spark, tmp).count() == nB)
+    // entity point-lookup through a chain still answers exactly
+    assert(GraphTables.entityEdges(spark, tmp, "calls", "e").count() == 2)
+
+    // pointer overlay C (empty delta): zero rows written, identical row
+    val (nC, hC) = GraphTables.writeDelta(spark, tmp, "ov-C", "ov-B",
+      base.limit(0), base.select(col("docId")).limit(0), 0L, 0L)
+    assert((nC, hC) == ((nB, hB)))
+    assert(GraphTables.readOwnData(spark, tmp, "ov-C").count() == 0)
+    assert(GraphTables.chainDepth(spark, tmp, "ov-C") == 2)
+    assert(tset("ov-C") == tset("ov-B"))
+
+    // removal-only overlay D: d3's content now yields no triples
+    val (r3n, r3h) = ContentHash.xorLong(
+      base.filter(col("docId") === "d3"), HashCols)
+    val (nD, _) = GraphTables.writeDelta(spark, tmp, "ov-D", "ov-C",
+      base.limit(0), Seq("d3").toDF("docId"), r3n, r3h)
+    assert(nD == 5 && GraphTables.chainDepth(spark, tmp, "ov-D") == 3)
+    assert(!tset("ov-D").exists(_.contains("d3")))
+    assertExactManifest("ov-D")
+
+    // chain-safe GC: keepLast=1 keeps D plus its WHOLE base chain
+    assert(GraphTables.expireSnapshots(spark, tmp, keepLast = 1).isEmpty)
+    assert(GraphTables.pruneManifest(spark, tmp, 1).isEmpty)
+    assert(tset("ov-D").size == 5)
+
+    // an overlay on an uncommitted base fails loudly
+    intercept[IllegalStateException] {
+      GraphTables.writeDelta(spark, tmp, "ov-X", "no-such-base",
+        base.limit(0), base.select(col("docId")).limit(0), 0L, 0L)
+    }
+
+    // compaction flattens D in place: same content, same manifest row,
+    // no more base — and the chain becomes collectible
+    val before = tset("ov-D"); val row = manifestRow("ov-D")
+    assert(GraphTables.compactSnapshot(spark, tmp, "ov-D"))
+    assert(GraphTables.baseOf(spark, tmp, "ov-D").isEmpty)
+    assert(tset("ov-D") == before && manifestRow("ov-D") == row)
+    assertExactManifest("ov-D")
+    assert(!GraphTables.compactSnapshot(spark, tmp, "ov-D"),
+      "compacting a full snapshot must be a no-op")
+    assert(GraphTables.expireSnapshots(spark, tmp, keepLast = 1).toSet ==
+      Set("ov-A", "ov-B", "ov-C"))
+    assert(GraphTables.pruneManifest(spark, tmp, 1).toSet ==
+      Set("ov-A", "ov-B", "ov-C"))
+    assert(tset("ov-D").size == 5)
+    assert(GraphTables.read(spark, tmp).count() == 5)
+  }
+
   test("resumable pipeline: restart computes only missing buckets") {
     val tmp = Files.createTempDirectory("respipe").toString
     val corpus = s"$tmp/corpus"; val out = s"$tmp/out"; val man = s"$tmp/man"

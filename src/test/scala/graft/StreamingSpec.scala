@@ -353,6 +353,73 @@ class StreamingSpec extends SparkSpec {
     assert(p7.incremental && p7.note.contains("adds-only"), p7.note)
     val files5 = files4.union(Seq(d).toDS())
     assert(published() == tset(Pipeline.dynamicStagesFor(files5).triples))
+
+    // ---- overlay I/O: the incremental publishes above wrote DELTAS,
+    // not corpus rewrites, and their derived manifest rows are exact
+    import graft.sources.{ContentHash, GraphTables}
+    val HashCols = Seq("subj", "pred", "obj", "docId")
+    // inc-3 was the retraction FALLBACK (full); inc-4/6/7 chain off it
+    assert(GraphTables.baseOf(spark, table, "inc-3").isEmpty)
+    assert(GraphTables.baseOf(spark, table, "inc-4").contains("inc-3"))
+    assert(GraphTables.baseOf(spark, table, "inc-5").contains("inc-4"))
+    assert(GraphTables.baseOf(spark, table, "inc-6").contains("inc-5"))
+    assert(GraphTables.baseOf(spark, table, "inc-7").contains("inc-6"))
+    // the empty-delta snapshot is a pure pointer (zero rows written);
+    // the adds-only one wrote strictly less than the corpus
+    assert(GraphTables.readOwnData(spark, table, "inc-6").count() == 0)
+    val own7 = GraphTables.readOwnData(spark, table, "inc-7").count()
+    val all7 = GraphTables.readSnapshot(spark, table, "inc-7").count()
+    assert(own7 > 0 && own7 < all7 / 2,
+      s"overlay wrote $own7 of $all7 resolved rows — not a delta")
+    // derived (rowCount, contentHash) == from-scratch fingerprint of
+    // the resolved content, for every overlay in the chain
+    Seq("inc-4", "inc-6", "inc-7").foreach { id =>
+      val want = ContentHash.hex(
+        GraphTables.readSnapshot(spark, table, id), HashCols)
+      val got = spark.read.parquet(s"$table/manifest")
+        .filter(col("snapshotId") === id)
+        .orderBy(col("committedAt").desc)
+        .select("rowCount", "contentHash").head() match {
+        case r => (r.getLong(0), r.getString(1))
+      }
+      assert(got == want, s"derived manifest of $id drifted")
+    }
+
+    // phase 8: the depth gate MATERIALIZES — same content, full dir
+    val e = doc("E.scala", "c0",
+      "def runFinal(a: Row): Txn = {", "val valveGammaQq = 4")
+    Seq(e).toDS().write.mode("append").parquet(src)
+    runStream()
+    val p8 = StreamingPipeline.publishSnapshotDynamicIncremental(
+      spark, ments, table, "inc-8", state, maxChain = 1)
+    assert(p8.incremental && p8.note.contains("materialized"), p8.note)
+    assert(GraphTables.baseOf(spark, table, "inc-8").isEmpty)
+    val files6 = files5.union(Seq(e).toDS())
+    assert(published() == tset(Pipeline.dynamicStagesFor(files6).triples))
+
+    // phase 9: canon-state GC keeps the latest state — the next
+    // publish is STILL incremental after expiry
+    val expired = StreamingPipeline.expireCanonState(
+      spark, state, table, keepLast = 1)
+    assert(expired.nonEmpty && !expired.contains("inc-8"),
+      s"state GC expired $expired")
+    val f = doc("F.scala", "c0",
+      "def runPost(a: Row): Txn = {", "val valveGammaQq = 5")
+    Seq(f).toDS().write.mode("append").parquet(src)
+    runStream()
+    val p9 = pub("inc-9")
+    assert(p9.incremental && p9.note.contains("overlay"), p9.note)
+    val files7 = files6.union(Seq(f).toDS())
+    assert(published() == tset(Pipeline.dynamicStagesFor(files7).triples))
+
+    // phase 10: graph GC across a live chain — keepLast=1 keeps inc-9
+    // plus its base inc-8; everything older (and the long inc-3 chain)
+    // goes, and the kept overlay still resolves
+    val removed = GraphTables.expireSnapshots(spark, table, keepLast = 1)
+    assert(removed.toSet ==
+      Set("inc-1", "inc-2", "inc-3", "inc-4", "inc-5", "inc-6", "inc-7"),
+      s"removed $removed")
+    assert(published() == tset(Pipeline.dynamicStagesFor(files7).triples))
   }
 
   test("dynamic publish of a LEGACY accumulation (no/partial roster) keeps every doc") {
