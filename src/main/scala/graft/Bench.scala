@@ -44,7 +44,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   */
 object Bench {
 
-  private def session(cores: Int, app: String): SparkSession = {
+  private[graft] def session(cores: Int, app: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(app)
@@ -113,21 +113,21 @@ object Bench {
   }
 
   /** Timed trial with host pressure: (result, sec, stealPct, load1). */
-  private def timedP[A](f: => A): (A, Double, Double, Double) = {
+  private[graft] def timedP[A](f: => A): (A, Double, Double, Double) = {
     val ld = loadavg1()
     val s0 = procStat()
     val (a, sec) = time(f)
     (a, sec, stealPct(s0, procStat()), ld)
   }
 
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
     else if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  private def jArr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
+  private[graft] def jArr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
 
   /** One N-vs-4N scaling row: per-config warm-up, then `nTrials`
     * INTERLEAVED trials (N, 4N, N, 4N, …) so a sustained CPU-steal
@@ -521,5 +521,99 @@ object Bench {
     def corpusWrite(spark: SparkSession, n: Long, path: String): Unit =
       graft.extract.Extract.corpus(spark, n)
         .write.mode("overwrite").parquet(path)
+  }
+}
+
+/** Publish-cost SCALING bench: the same fixed-size ingest delta
+  * published incrementally (overlay snapshot) vs a full
+  * republication, across GROWING accumulated corpus sizes — the
+  * direct evidence that incremental publish cost tracks the DELTA
+  * while full publish cost tracks the corpus. One JSON line:
+  * `{"metric":"publish_scaling","delta_files":D,"bases":[{"files":B,
+  *   "incr_sec":…,"incr_sec_trials":[…],"incr_rows_written":…,
+  *   "snapshot_rows":…,"full_sec":…,"full_sec_trials":[…],
+  *   "full_over_incr":…},…]}` (also written to
+  * BENCH/publish_scaling.json). Env: SPARK_GRAFT_PUB_BASES
+  * (csv base file counts, default "20000,80000"),
+  * SPARK_GRAFT_PUB_DELTA (files per delta, default 400),
+  * SPARK_GRAFT_PUB_TRIALS (per-mode trials, default 2),
+  * SPARK_GRAFT_CPUS. Bases run ascending so the first (smallest)
+  * base absorbs JIT warm-up; per-mode best-of covers the rest. */
+object BenchPublish {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val bases = sys.env.getOrElse("SPARK_GRAFT_PUB_BASES", "20000,80000")
+      .split(",").map(_.trim.toLong).sorted.toSeq
+    val nDelta = sys.env.getOrElse("SPARK_GRAFT_PUB_DELTA", "400").toLong
+    val trials =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_PUB_TRIALS", "2").toInt)
+    val spark = Bench.session(cpus, "graft-bench-publish")
+    import spark.implicits._
+    val rows = bases.map { nBase =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bench_pubscale").toString
+      val ments = s"$tmp/ments"; val state = s"$tmp/state"
+      val table = s"$tmp/graph"
+      def writeBatch(a: Long, b: Long, batchId: Long): Unit = {
+        val fs = spark.range(a, b)
+          .map(id => graft.core.CorpusGen.file(id).source)
+        graft.link.Linker.link(
+          graft.extract.Extract.mentionsFused(fs)).toDF()
+          .withColumn("batchId", lit(batchId))
+          .write.mode("append").partitionBy("batchId").parquet(ments)
+        fs.toDF().select(graft.core.DocId.column.as("docId")).distinct()
+          .withColumn("batchId", lit(batchId))
+          .write.mode("append").partitionBy("batchId")
+          .parquet(graft.streaming.StreamingPipeline.rosterPath(ments))
+      }
+      writeBatch(0L, nBase, 0L)
+      // base publish (creates state + the overlay chain root) — untimed
+      graft.streaming.StreamingPipeline.publishSnapshotDynamicIncremental(
+        spark, ments, table, "pub-00", state)
+      val incr = (1 to trials).map { i =>
+        writeBatch(nBase + (i - 1) * nDelta, nBase + i * nDelta, i.toLong)
+        spark.catalog.clearCache(); System.gc()
+        Bench.timedP {
+          val p = graft.streaming.StreamingPipeline
+            .publishSnapshotDynamicIncremental(spark, ments, table,
+              f"pub-$i%02d", state)
+          require(p.incremental, s"expected incremental: ${p.note}")
+          p.rows
+        }
+      }
+      val lastId = f"pub-$trials%02d"
+      val ownRows = graft.sources.GraphTables
+        .readOwnData(spark, table, lastId).count()
+      val snapRows = incr.last._1
+      val full = (1 to trials).map { j =>
+        spark.catalog.clearCache(); System.gc()
+        Bench.timedP(graft.streaming.StreamingPipeline
+          .publishSnapshotDynamic(spark, ments, s"$tmp/graphFull$j",
+            s"full-$j"))
+      }
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(tmp))
+      val iSecs = incr.map(_._2); val fSecs = full.map(_._2)
+      System.err.println(s"[bench-publish] base=$nBase incr=${iSecs.min}s " +
+        s"full=${fSecs.min}s own_rows=$ownRows of $snapRows")
+      s"""{"files":$nBase,"incr_sec":${iSecs.min},""" +
+        s""""incr_sec_trials":${Bench.jArr(iSecs)},""" +
+        s""""incr_steal_pct_trials":${Bench.jArr(incr.map(_._3))},""" +
+        s""""incr_rows_written":$ownRows,"snapshot_rows":$snapRows,""" +
+        s""""full_sec":${fSecs.min},""" +
+        s""""full_sec_trials":${Bench.jArr(fSecs)},""" +
+        s""""full_steal_pct_trials":${Bench.jArr(full.map(_._3))},""" +
+        s""""full_over_incr":${fSecs.min / iSecs.min}}"""
+    }
+    val line = s"""{"metric":"publish_scaling","delta_files":$nDelta,""" +
+      s""""bases":${rows.mkString("[", ",", "]")}}"""
+    println(line)
+    try {
+      new java.io.File("BENCH").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH/publish_scaling.json"), line + "\n")
+    } catch { case _: Throwable => () }
+    spark.stop()
   }
 }
