@@ -531,9 +531,12 @@ object Bench {
   * while full publish cost tracks the corpus. One JSON line:
   * `{"metric":"publish_scaling","delta_files":D,"bases":[{"files":B,
   *   "incr_sec":…,"incr_sec_trials":[…],"incr_rows_written":…,
-  *   "snapshot_rows":…,"full_sec":…,"full_sec_trials":[…],
+  *   "snapshot_rows":…,"chain_depth":…,"read_chain_sec":…,
+  *   "read_flat_sec":…,"full_sec":…,"full_sec_trials":[…],
   *   "full_over_incr":…},…]}` (also written to
-  * BENCH/publish_scaling.json). Env: SPARK_GRAFT_PUB_BASES
+  * BENCH/publish_scaling.json). The read rows price the consumer side
+  * of a chain: resolving the deepest overlay vs the same content
+  * after an in-place compactSnapshot. Env: SPARK_GRAFT_PUB_BASES
   * (csv base file counts, default "20000,80000"),
   * SPARK_GRAFT_PUB_DELTA (files per delta, default 400),
   * SPARK_GRAFT_PUB_TRIALS (per-mode trials, default 2),
@@ -542,12 +545,24 @@ object Bench {
 object BenchPublish {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions.lit
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    def posLong(k: String, dflt: String): Long = {
+      val v = sys.env.getOrElse(k, dflt)
+      val n = try v.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$k must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"$k must be positive, got $n"); n
+    }
+    val cpus = posLong("SPARK_GRAFT_CPUS", "32").toInt
     val bases = sys.env.getOrElse("SPARK_GRAFT_PUB_BASES", "20000,80000")
-      .split(",").map(_.trim.toLong).sorted.toSeq
-    val nDelta = sys.env.getOrElse("SPARK_GRAFT_PUB_DELTA", "400").toLong
-    val trials =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_PUB_TRIALS", "2").toInt)
+      .split(",").map { v =>
+        try v.trim.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_PUB_BASES must be csv integers, got '$v'")
+        }
+      }.sorted.toSeq
+    val nDelta = posLong("SPARK_GRAFT_PUB_DELTA", "400")
+    val trials = posLong("SPARK_GRAFT_PUB_TRIALS", "2").toInt
     val spark = Bench.session(cpus, "graft-bench-publish")
     import spark.implicits._
     val rows = bases.map { nBase =>
@@ -586,6 +601,21 @@ object BenchPublish {
       val ownRows = graft.sources.GraphTables
         .readOwnData(spark, table, lastId).count()
       val snapRows = incr.last._1
+      // read-side cost of the overlay chain: resolve the deepest
+      // snapshot vs the same content flattened in place — what a
+      // consumer pays per read between compactions
+      val chainD = graft.sources.GraphTables.chainDepth(spark, table, lastId)
+      val readChain = (1 to trials).map { _ =>
+        spark.catalog.clearCache()
+        Bench.timedP(graft.sources.GraphTables
+          .readSnapshot(spark, table, lastId).count())._2
+      }
+      graft.sources.GraphTables.compactSnapshot(spark, table, lastId)
+      val readFlat = (1 to trials).map { _ =>
+        spark.catalog.clearCache()
+        Bench.timedP(graft.sources.GraphTables
+          .readSnapshot(spark, table, lastId).count())._2
+      }
       val full = (1 to trials).map { j =>
         spark.catalog.clearCache(); System.gc()
         Bench.timedP(graft.streaming.StreamingPipeline
@@ -596,11 +626,15 @@ object BenchPublish {
         .deleteQuietly(new java.io.File(tmp))
       val iSecs = incr.map(_._2); val fSecs = full.map(_._2)
       System.err.println(s"[bench-publish] base=$nBase incr=${iSecs.min}s " +
-        s"full=${fSecs.min}s own_rows=$ownRows of $snapRows")
+        s"full=${fSecs.min}s own_rows=$ownRows of $snapRows " +
+        s"read_chain(d=$chainD)=${readChain.min}s read_flat=${readFlat.min}s")
       s"""{"files":$nBase,"incr_sec":${iSecs.min},""" +
         s""""incr_sec_trials":${Bench.jArr(iSecs)},""" +
         s""""incr_steal_pct_trials":${Bench.jArr(incr.map(_._3))},""" +
         s""""incr_rows_written":$ownRows,"snapshot_rows":$snapRows,""" +
+        s""""chain_depth":$chainD,""" +
+        s""""read_chain_sec":${readChain.min},""" +
+        s""""read_flat_sec":${readFlat.min},""" +
         s""""full_sec":${fSecs.min},""" +
         s""""full_sec_trials":${Bench.jArr(fSecs)},""" +
         s""""full_steal_pct_trials":${Bench.jArr(full.map(_._3))},""" +
