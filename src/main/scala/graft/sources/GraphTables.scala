@@ -68,6 +68,13 @@ object Fs {
       .exists(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
   }
 
+  /** Create (or truncate) an empty marker file. */
+  def touch(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
+  }
+
   /** Replace `path` with the freshly-written `tmpPath` (rename old
     * aside, rename tmp in, delete old) — the rewrite-compaction swap
     * (accumulation compaction, manifest pruning). NOT atomic: a crash

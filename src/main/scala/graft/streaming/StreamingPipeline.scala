@@ -351,6 +351,59 @@ object StreamingPipeline {
   private def stateDir(statePath: String, snapshotId: String): String =
     s"$statePath/snap=$snapshotId"
 
+  // ---- entity→doc index: the affected-docs probe at O(touched
+  // ---- buckets) instead of an O(corpus) accumulation scan ----------
+
+  private val EntIdxBuckets = 64
+
+  /** Shared across snapshots (next to the per-snapshot state dirs).
+    * Rows (entity, docId, ebucket): every doc that EVER mentioned the
+    * entity, partitioned by entity-hash bucket so a changed-entity
+    * lookup prunes to the touched buckets. Over-coverage is BENIGN by
+    * the same argument as the stale-row over-selection it replaces —
+    * re-emitting a doc from its latest version is always correct — so
+    * the index is append-only per delta (stale pairs and duplicates
+    * never hurt) and is rebuilt distinct on every full publish. The
+    * `_complete` marker gates reads: it lands atomically with a full
+    * rebuild (inside the swap) and is required before the incremental
+    * path trusts the index — a legacy accumulation without it keeps
+    * the corpus-scan fallback until its next full publish. */
+  private def entIdxDir(statePath: String): String = s"$statePath/entidx"
+
+  private def entIdxMarker(statePath: String): String =
+    s"${entIdxDir(statePath)}/_complete"
+
+  private def ebucket(c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c), lit(EntIdxBuckets)).cast("int")
+
+  private def entIdxUsable(spark: SparkSession, statePath: String): Boolean =
+    graft.sources.Fs.exists(spark, entIdxMarker(statePath)) &&
+      graft.sources.Fs.hasPartitions(spark, entIdxDir(statePath), "ebucket=")
+
+  /** Delta append — MUST run before the snapshot's manifest commit: a
+    * crash in between leaves over-coverage (benign), never a committed
+    * snapshot whose docs the index misses. */
+  private def appendEntIdx(spark: SparkSession, statePath: String,
+      linked: DataFrame): Unit =
+    linked.select(col("entity"), col("docId")).distinct()
+      .withColumn("ebucket", ebucket(col("entity")))
+      .write.mode("append").partitionBy("ebucket")
+      .parquet(entIdxDir(statePath))
+
+  /** Full rebuild (full-publish path): distinct pairs through a tmp
+    * dir + swap, the completeness marker written INTO the tmp so data
+    * and marker land together; also the dedup that bounds the
+    * append-only growth between full publishes. */
+  private def rebuildEntIdx(spark: SparkSession, statePath: String,
+      linked: DataFrame): Unit = {
+    val d = entIdxDir(statePath); val tmp = s"${d}__rebuild"
+    linked.select(col("entity"), col("docId")).distinct()
+      .withColumn("ebucket", ebucket(col("entity")))
+      .write.mode("overwrite").partitionBy("ebucket").parquet(tmp)
+    graft.sources.Fs.touch(spark, s"$tmp/_complete")
+    graft.sources.Fs.swapInto(spark, tmp, d)
+  }
+
   /** Canon-state GC — the state-side twin of
     * [[graft.sources.GraphTables.expireSnapshots]]: every publish
     * writes a `snap=` state dir (canon map + pair refcounts + per-doc
@@ -462,6 +515,8 @@ object StreamingPipeline {
       note: String): DynPublish = {
     import spark.implicits._
     if (!graft.sources.Fs.hasPartitions(spark, mentionsPath, "batchId=")) {
+      rebuildEntIdx(spark, statePath,
+        Seq.empty[(String, String)].toDF("entity", "docId"))
       val (n, h) = graft.sources.GraphTables.write(
         spark.emptyDataset[graft.core.Triple].toDF(), tablePath, snapshotId)
       writeState(spark, statePath, snapshotId,
@@ -487,6 +542,9 @@ object StreamingPipeline {
         case r if r.isNullAt(0) => -1L
         case r => r.getLong(0)
       }
+      // index rebuild strictly BEFORE the manifest commit (crash in
+      // between = over-coverage, benign)
+      rebuildEntIdx(spark, statePath, linked)
       val (n, h) =
         graft.sources.GraphTables.write(triples, tablePath, snapshotId)
       // per-doc fingerprints of the data ACTUALLY WRITTEN (read back),
@@ -513,11 +571,12 @@ object StreamingPipeline {
     * `batchId > lastBatchId`), the superseded docs' old partitions
     * (pruned to their recorded batchIds), the vocabulary-sized
     * pair/canon state, a ~2-round seeded CC over the prior star
-    * forest, and the re-emit of CHANGED docs only — everything
-    * corpus-sized is a columnar projection scan at worst (the
-    * changed-entity doc probe reads two columns; a production
-    * deployment would bucket the accumulation by entity to make it an
-    * index lookup).
+    * forest, and the re-emit of CHANGED docs only. The changed-entity
+    * doc probe goes through the entity→doc index (entity-hash-bucketed
+    * pairs next to the state, appended per delta, rebuilt distinct on
+    * every full publish) pruned to the changed entities' buckets —
+    * with a corpus-scan fallback while the index's completeness
+    * marker is absent (legacy accumulation).
     *
     * I/O side: the snapshot is published as an OVERLAY
     * ([[graft.sources.GraphTables.writeDelta]]) — only the re-emitted
@@ -635,24 +694,46 @@ object StreamingPipeline {
           snapshotId, statePath,
           s"alias evidence retracted (${pd.removedCount} pairs) — " +
             "full recanonicalization")
+      // keep the entity→doc index current for FUTURE publishes — an
+      // append of delta-sized pairs, strictly before this snapshot's
+      // manifest commit (crash in between = over-coverage, benign); a
+      // legacy index without the completeness marker stays untouched
+      // until the next full publish rebuilds it
+      val idxUsable = entIdxUsable(spark, statePath)
+      if (idxUsable) appendEntIdx(spark, statePath, deltaLinked)
       // seeded CC from the prior star forest + added-pair edges
       val newCanon = IncrementalCanon
         .seededCanonMap(priorCanon, priorPairs, pd.added).localCheckpoint()
       val changed = IncrementalCanon.changedEntities(newCanon, priorCanon)
-      // docs OUTSIDE the delta whose triples the relabeling touches: a
-      // two-column projection scan of the accumulation (stale rows of
-      // superseded docs may over-select a doc — harmless, re-emission
-      // from its latest version is correct either way). The common
-      // no-novel-alias delta changes NO labels — probe the tiny
-      // changed set first and skip the corpus scan entirely then.
+      // docs OUTSIDE the delta whose triples the relabeling touches:
+      // the entity→doc index pruned to the changed entities' buckets
+      // (a ≤64-value driver-side isin — partition pruning needs no
+      // DPP), falling back to a two-column projection scan of the
+      // accumulation when the index is not (yet) complete. Stale pairs
+      // and stale accumulation rows alike may over-select a doc —
+      // harmless, re-emission from its latest version is correct
+      // either way. The common no-novel-alias delta changes NO labels
+      // — probe the tiny changed set first and skip the lookup
+      // entirely then.
       val affected =
         if (changed.isEmpty)
           deltaLatest.select(col("docId")).limit(0).localCheckpoint()
-        else all.select(col("docId"), col("entity"))
-          .join(changed, Seq("entity"), "left_semi")
-          .select(col("docId")).distinct()
-          .join(deltaLatest.select(col("docId")), Seq("docId"), "left_anti")
-          .localCheckpoint()
+        else {
+          val candidates =
+            if (idxUsable) {
+              val bks = changed.select(ebucket(col("entity")).as("b"))
+                .distinct().collect().map(_.getInt(0))
+              spark.read.parquet(entIdxDir(statePath))
+                .filter(col("ebucket").isin(bks.toSeq: _*))
+                .join(changed, Seq("entity"), "left_semi")
+            } else all.select(col("docId"), col("entity"))
+              .join(changed, Seq("entity"), "left_semi")
+          candidates
+            .select(col("docId")).distinct()
+            .join(deltaLatest.select(col("docId")), Seq("docId"),
+              "left_anti")
+            .localCheckpoint()
+        }
       val affLatest = priorDocs.join(affected, Seq("docId"), "left_semi")
       val affMents = all.join(affLatest, Seq("docId", "batchId"))
         .drop("batchId")

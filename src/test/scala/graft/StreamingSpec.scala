@@ -288,6 +288,9 @@ class StreamingSpec extends SparkSpec {
     runStream()
     val p2 = pub("inc-2")
     assert(p2.incremental, s"expected incremental, got: ${p2.note}")
+    // the cross-batch relabeling below went through the entity→doc
+    // INDEX (p1's full publish rebuilt it with the completeness marker)
+    assert(graft.sources.Fs.exists(spark, s"$state/entidx/_complete"))
     val files2 = Extract.corpus(spark, 31).union(Seq(a1, b).toDS())
     val full2 = tset(Pipeline.dynamicStagesFor(files2).triples)
     assert(published() == full2,
@@ -420,6 +423,42 @@ class StreamingSpec extends SparkSpec {
       Set("inc-1", "inc-2", "inc-3", "inc-4", "inc-5", "inc-6", "inc-7"),
       s"removed $removed")
     assert(published() == tset(Pipeline.dynamicStagesFor(files7).triples))
+
+    // phase 11: index FALLBACK — plant a fresh snake form, delete the
+    // completeness marker, then land its camel twin: the relabeling of
+    // the phase-11a doc (outside the delta) must come out exact through
+    // the corpus-scan fallback
+    val g = doc("G.scala", "c0",
+      "def runExtraA(a: Row): Txn = {", "y = tail_omega_rr(x)")
+    Seq(g).toDS().write.mode("append").parquet(src)
+    runStream()
+    val p11a = pub("inc-11a")
+    assert(p11a.incremental, p11a.note)
+    assert(new java.io.File(s"$state/entidx/_complete").delete())
+    val hh = doc("H.scala", "c0",
+      "def runExtraB(a: Row): Txn = {", "val tailOmegaRr = 7")
+    Seq(hh).toDS().write.mode("append").parquet(src)
+    runStream()
+    val p11b = pub("inc-11b")
+    assert(p11b.incremental, p11b.note)
+    val files9 = files7.union(Seq(g, hh).toDS())
+    val full9 = tset(Pipeline.dynamicStagesFor(files9).triples)
+    assert(published() == full9,
+      s"+${(published() -- full9).take(3)} -${(full9 -- published()).take(3)}")
+    assert(published().exists(r =>
+      r.contains("tailOmegaRr") && r.contains("increpo/G.scala")),
+      "fallback path must still re-emit the relabeled out-of-delta doc")
+    // a retraction-triggered FULL publish rebuilds the index + marker
+    val g2 = doc("G.scala", "c1",
+      "def runExtraA(a: Row): Txn = {", "z = unrelated_call(x)")
+    Seq(g2).toDS().write.mode("append").parquet(src)
+    runStream()
+    val p12 = pub("inc-12")
+    assert(!p12.incremental && p12.note.contains("retracted"), p12.note)
+    assert(graft.sources.Fs.exists(spark, s"$state/entidx/_complete"),
+      "full publish must rebuild the index with its marker")
+    val files10 = files7.union(Seq(g2, hh).toDS())
+    assert(published() == tset(Pipeline.dynamicStagesFor(files10).triples))
   }
 
   test("dynamic publish of a LEGACY accumulation (no/partial roster) keeps every doc") {
