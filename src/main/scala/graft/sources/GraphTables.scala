@@ -220,30 +220,50 @@ object GraphTables {
     * reader's partition discovery over the same snap dir (the same
     * rule that hides `_SUCCESS`/`_temporary`), so the overlay's own
     * `pred=`/`bucket=` data and its chain metadata coexist in one dir
-    * and one GC unit. Rows: `('base', baseSnapshotId)` exactly once,
-    * plus `('removed', docId)` for every doc whose BASE rows this
-    * snapshot hides (always ≥ 1 row, so an empty-read probe is never
+    * and one GC unit. Rows: `('base', baseSnapshotId)` and
+    * `('depth', chainDepth)` exactly once each, plus
+    * `('removed', docId)` for every doc whose BASE rows this snapshot
+    * hides (always ≥ 1 row, so an empty-read probe is never
     * needed). */
   private def baseMetaDir(dir: String): String = s"$dir/_graft_base"
+
+  /** (baseSnapshotId, recorded depth) of an overlay's sidecar; None
+    * for a full snapshot. One read serves both fields. A sidecar
+    * without a 'depth' row (not written in practice — kept as a
+    * defensive fallback) reports depth -1, making [[chainDepth]] walk. */
+  private def sidecarMeta(spark: SparkSession, path: String,
+      snapshotId: String): Option[(String, Int)] = {
+    val meta = baseMetaDir(snapDir(path, snapshotId))
+    if (!Fs.exists(spark, meta)) None
+    else {
+      val rows = spark.read.parquet(meta)
+        .filter(col("kind").isin("base", "depth"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      Some((rows("base"), rows.get("depth").map(_.toInt).getOrElse(-1)))
+    }
+  }
 
   /** The base snapshot an overlay builds on; None for a full
     * (self-contained) snapshot. */
   def baseOf(spark: SparkSession, path: String,
-      snapshotId: String): Option[String] = {
-    val meta = baseMetaDir(snapDir(path, snapshotId))
-    if (!Fs.exists(spark, meta)) None
-    else Some(spark.read.parquet(meta).filter(col("kind") === "base")
-      .select(col("value")).head().getString(0))
-  }
+      snapshotId: String): Option[String] =
+    sidecarMeta(spark, path, snapshotId).map(_._1)
 
-  /** Overlay-chain length above a snapshot (0 = full). Walks the base
-    * pointers; a cycle (corrupted sidecars) fails instead of looping. */
+  /** Overlay-chain length above a snapshot (0 = full). The sidecar
+    * records its own depth, so the common case is ONE sidecar read —
+    * the publish-time depth gate must not pay a 2-reads-per-level
+    * walk. Falls back to walking the base pointers for a sidecar
+    * without the depth row; a cycle (corrupted sidecars) fails
+    * instead of looping. */
   def chainDepth(spark: SparkSession, path: String,
       snapshotId: String): Int = {
     var id = snapshotId; var d = 0; var seen = Set.empty[String]
-    while (baseOf(spark, path, id).isDefined) {
+    var m = sidecarMeta(spark, path, id)
+    while (m.isDefined) {
+      if (m.get._2 >= 0) return d + m.get._2
       require(!seen.contains(id), s"overlay chain cycle at snapshot $id")
-      seen += id; id = baseOf(spark, path, id).get; d += 1
+      seen += id; id = m.get._1; d += 1
+      m = sidecarMeta(spark, path, id)
     }
     d
   }
@@ -305,8 +325,10 @@ object GraphTables {
       if (!hasPartitions(spark, dir)) (0L, 0L)
       else ContentHash.xorLong(spark.read.parquet(dir),
         Seq("subj", "pred", "obj", "docId"))
+    val depth = chainDepth(spark, path, baseSnapshotId) + 1
     removedDocs.select(lit("removed").as("kind"), col("docId").as("value"))
-      .unionByName(Seq(("base", baseSnapshotId)).toDF("kind", "value"))
+      .unionByName(Seq(("base", baseSnapshotId),
+        ("depth", depth.toString)).toDF("kind", "value"))
       .write.mode(SaveMode.Overwrite).parquet(baseMetaDir(dir))
     val n = base.getLong(0) - removedRows + addN
     val h = ContentHash.parseHex(base.getString(1)) ^ removedHash ^ addH
