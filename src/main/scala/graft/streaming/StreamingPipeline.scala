@@ -404,6 +404,40 @@ object StreamingPipeline {
     graft.sources.Fs.swapInto(spark, tmp, d)
   }
 
+  final case class Maintenance(flattened: Boolean,
+      expiredSnapshots: Seq[String], prunedManifest: Seq[String],
+      expiredState: Seq[String])
+
+  /** One-call table maintenance for a quiescent window, in the one
+    * order that composes correctly:
+    *  1. optionally FLATTEN the latest snapshot in place
+    *     ([[graft.sources.GraphTables.compactSnapshot]]) — making its
+    *     whole base chain collectible in the same pass (without this,
+    *     chain-safe GC rightly keeps every base of the kept overlay);
+    *  2. expire snapshot data dirs ([[graft.sources.GraphTables
+    *     .expireSnapshots]], chain-safe);
+    *  3. expire superseded canon state ([[expireCanonState]] — while
+    *     the manifest still lists the superseded ids as committed; run
+    *     after the prune and they'd read as "uncommitted" and escape
+    *     deletion until the orphan age gate);
+    *  4. prune manifest rows to the SAME window ([[graft.sources
+    *     .GraphTables.pruneManifest]] — last, so every earlier step
+    *     agrees on the keep set).
+    * `flatten=false` (default) keeps maintenance O(metadata): the
+    * `maxChain` publish gate already amortizes materialization. */
+  def maintainGraph(spark: SparkSession, tablePath: String,
+      statePath: String, keepLast: Int,
+      flatten: Boolean = false): Maintenance = {
+    import graft.sources.GraphTables
+    val flattened = flatten &&
+      GraphTables.latestSnapshot(spark, tablePath).exists(id =>
+        GraphTables.compactSnapshot(spark, tablePath, id))
+    val expired = GraphTables.expireSnapshots(spark, tablePath, keepLast)
+    val state = expireCanonState(spark, statePath, tablePath, keepLast)
+    val pruned = GraphTables.pruneManifest(spark, tablePath, keepLast)
+    Maintenance(flattened, expired, pruned, state)
+  }
+
   /** Canon-state GC — the state-side twin of
     * [[graft.sources.GraphTables.expireSnapshots]]: every publish
     * writes a `snap=` state dir (canon map + pair refcounts + per-doc

@@ -282,6 +282,50 @@ class GraphSinkSpec extends SparkSpec {
     assert(GraphTables.read(spark, tmp).count() == 5)
   }
 
+  test("maintainGraph: flatten + chain GC + state expiry + manifest prune, one pass") {
+    import spark.implicits._
+    import graft.sources.ContentHash
+    val tmp = Files.createTempDirectory("graphmaint").toString
+    val table = s"$tmp/graph"; val state = s"$tmp/state"
+    def rows(ts: (String, String, String)*) =
+      ts.map { case (s, o, d) => (s, "calls", o, d, 1.0) }
+        .toDF("subj", "pred", "obj", "docId", "score")
+    val base = rows(("a", "x", "d1"), ("b", "y", "d2"))
+    GraphTables.write(base, table, "m-A")
+    val (rN, rH) = ContentHash.xorLong(
+      base.filter(col("docId") === "d2"), Seq("subj", "pred", "obj", "docId"))
+    GraphTables.writeDelta(spark, table, "m-B", "m-A",
+      rows(("b", "z", "d2")), Seq("d2").toDF("docId"), rN, rH)
+    GraphTables.writeDelta(spark, table, "m-C", "m-B",
+      rows(("c", "w", "d3")), Seq("d3").toDF("docId"), 0L, 0L)
+    // per-snapshot state dirs as the publishes would leave them
+    Seq("m-A", "m-B", "m-C").foreach { id =>
+      Seq(0L).toDF("lastBatchId").write.parquet(s"$state/snap=$id/meta")
+    }
+    val want = GraphTables.readSnapshot(spark, table, "m-C")
+      .select("subj", "pred", "obj", "docId").collect().map(_.toSeq).toSet
+    // without flatten, chain-safe GC rightly keeps the whole chain
+    val m0 = graft.streaming.StreamingPipeline
+      .maintainGraph(spark, table, state, keepLast = 1)
+    assert(!m0.flattened && m0.expiredSnapshots.isEmpty &&
+      m0.prunedManifest.isEmpty)
+    assert(m0.expiredState.toSet == Set("m-A", "m-B"),
+      s"state ${m0.expiredState}")
+    // flattening frees the chain: one pass leaves exactly the latest,
+    // full, exact, and alone — in data, manifest, and state
+    val m1 = graft.streaming.StreamingPipeline
+      .maintainGraph(spark, table, state, keepLast = 1, flatten = true)
+    assert(m1.flattened)
+    assert(m1.expiredSnapshots.toSet == Set("m-A", "m-B"))
+    assert(m1.prunedManifest.toSet == Set("m-A", "m-B"))
+    assert(GraphTables.baseOf(spark, table, "m-C").isEmpty)
+    assert(GraphTables.latestSnapshot(spark, table).contains("m-C"))
+    assert(GraphTables.readSnapshot(spark, table, "m-C")
+      .select("subj", "pred", "obj", "docId").collect().map(_.toSeq).toSet
+      == want)
+    assert(new java.io.File(s"$state/snap=m-C").exists)
+  }
+
   test("resumable pipeline: restart computes only missing buckets") {
     val tmp = Files.createTempDirectory("respipe").toString
     val corpus = s"$tmp/corpus"; val out = s"$tmp/out"; val man = s"$tmp/man"
