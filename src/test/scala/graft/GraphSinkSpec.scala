@@ -282,6 +282,37 @@ class GraphSinkSpec extends SparkSpec {
     assert(GraphTables.read(spark, tmp).count() == 5)
   }
 
+  test("overlay publish retry is idempotent; impossible removal stats fail loudly") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graphovlretry").toString
+    def rows(ts: (String, String, String)*) =
+      ts.map { case (s, o, d) => (s, "calls", o, d, 1.0) }
+        .toDF("subj", "pred", "obj", "docId", "score")
+    GraphTables.write(rows(("a", "x", "d1"), ("b", "y", "d2")), tmp, "r-A")
+    val (rN, rH) = graft.sources.ContentHash.xorLong(
+      rows(("b", "y", "d2")), Seq("subj", "pred", "obj", "docId"))
+    def pub() = GraphTables.writeDelta(spark, tmp, "r-B", "r-A",
+      rows(("b", "z", "d2")), Seq("d2").toDF("docId"), rN, rH)
+    val first = pub()
+    // a crash-retry republish of the SAME overlay id replaces the
+    // overlay wholesale and derives the identical manifest row
+    val second = pub()
+    assert(first == second)
+    assert(GraphTables.readSnapshot(spark, tmp, "r-B").count() == 2)
+    assert(graft.sources.ContentHash.hex(
+      GraphTables.readSnapshot(spark, tmp, "r-B"),
+      Seq("subj", "pred", "obj", "docId"))._2 == first._2)
+    // removal stats that cannot describe the base (more rows removed
+    // than it has) must fail the publish, not commit a negative count
+    intercept[IllegalArgumentException] {
+      GraphTables.writeDelta(spark, tmp, "r-X", "r-A",
+        rows(), Seq("d1").toDF("docId"), 999L, 0L)
+    }
+    // the failed publish left no manifest row
+    assert(!spark.read.parquet(s"$tmp/manifest")
+      .filter(col("snapshotId") === "r-X").collect().nonEmpty)
+  }
+
   test("maintainGraph: flatten + chain GC + state expiry + manifest prune, one pass") {
     import spark.implicits._
     import graft.sources.ContentHash
