@@ -122,19 +122,27 @@ object StreamingPipeline {
         // this micro-batch under a single batchId — the (docId,
         // batchId) last-writer-wins at publish time cannot separate
         // them, and the union of both versions' facts is wrong under
-        // any ordering. A file source gives no within-batch order, so
-        // the survivor is picked deterministically: max (commit,
-        // sha256). Across batches the batchId ordering still governs.
-        // CONTRACT: this is determinism, not chronology — when the
+        // any ordering. When the source carries a monotone `ingestTs`
+        // column it orders first — `.as[SourceFileHashed]` keeps extra
+        // columns in the plan, so a file-source caller gets TRUE
+        // last-writer semantics with
+        //   .withColumn("ingestTs", col("_metadata.file_modification_time"))
+        // before the typed conversion (a row missing the ts loses to
+        // any row carrying one: recency evidence beats absence).
+        // Without it a file source gives no within-batch order, so the
+        // survivor falls back to the deterministic max (commit,
+        // sha256) — determinism, not chronology: when the
         // lexicographically larger (commit, sha256) is the OLDER
-        // version, the batch keeps the stale one. Deployments that
-        // need strict last-writer semantics must either separate
-        // versions into distinct batches (maxFilesPerTrigger=1) or
-        // carry a monotone ingest timestamp column in the source and
-        // put it first in this orderBy.
+        // version, the batch keeps the stale one; separate versions
+        // into distinct batches (maxFilesPerTrigger=1) if the source
+        // cannot carry a timestamp. Across batches the batchId
+        // ordering still governs.
+        val ord = (if (batch0.columns.contains("ingestTs"))
+            Seq(col("ingestTs").desc_nulls_last) else Nil) ++
+          Seq(col("commit").desc, col("sha256").desc)
         val vw = org.apache.spark.sql.expressions.Window
           .partitionBy(graft.core.DocId.column)
-          .orderBy(col("commit").desc, col("sha256").desc)
+          .orderBy(ord: _*)
         val batch = batch0.toDF()
           .withColumn("__rn", row_number().over(vw))
           .filter(col("__rn") === 1).drop("__rn")

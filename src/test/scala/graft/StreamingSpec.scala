@@ -78,6 +78,59 @@ class StreamingSpec extends SparkSpec {
       s"losing version's facts leaked into the publish: ${loserOnly.take(3)}")
   }
 
+  test("a monotone ingestTs column overrides the lexicographic survivor") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("stream-ts").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val man = s"$tmp/man"
+    Extract.corpus(spark, 10).write.mode("overwrite").parquet(src)
+    val f0 = graft.core.CorpusGen.file(0).source
+    def ver(commit: String, contentFrom: Long) = {
+      val c = graft.core.CorpusGen.file(contentFrom).source.content
+      graft.core.SourceFileHashed(f0.repo, f0.path, commit, f0.lang, c,
+        graft.core.CorpusGen.sha256Hex(c))
+    }
+    // the chronologically NEWER version has the lexicographically
+    // SMALLER commit — exactly the case the bare (commit, sha256)
+    // fallback gets wrong (the sibling test above pins that fallback)
+    val older = ver("zzz-b", 92); val newer = ver("zzz-a", 91)
+    Seq((older, 1000L), (newer, 2000L))
+      .map { case (f, ts) =>
+        (f.repo, f.path, f.commit, f.lang, f.content, f.sha256, ts) }
+      .toDF("repo", "path", "commit", "lang", "content", "sha256",
+        "ingestTs")
+      .write.mode("append").parquet(src)
+    // user-specified schema: the original corpus rows read ingestTs as
+    // null and fall back to the lexicographic order among themselves
+    val schema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(src).schema.filterNot(_.name == "ingestTs")
+        :+ org.apache.spark.sql.types.StructField("ingestTs",
+          org.apache.spark.sql.types.LongType))
+    val q = StreamingPipeline.triplesStream(
+      spark.readStream.schema(schema).parquet(src)
+        .as[graft.core.SourceFileHashed],
+      out, man, s"$tmp/ckpt")
+    q.processAllAvailable(); q.stop()
+    val table = s"$tmp/graph"
+    StreamingPipeline.publishSnapshot(spark, out, table, "s0")
+    val pub = graft.sources.GraphTables.read(spark, table)
+      .select("subj", "pred", "obj", "docId")
+      .collect().map(_.toSeq).toSet
+    def batchOver(survivor: graft.core.SourceFileHashed) =
+      Pipeline.triplesFor(
+        Extract.corpus(spark, 10)
+          .filter(f => !(f.repo == f0.repo && f.path == f0.path))
+          .union(Seq(survivor).toDS()))
+        .select("subj", "pred", "obj", "docId")
+        .collect().map(_.toSeq).toSet
+    val want = batchOver(newer)
+    val stale = batchOver(older) -- want
+    assert(stale.nonEmpty, "degenerate fixture: versions yield identical facts")
+    assert(pub == want,
+      s"ingestTs ignored: +${(pub -- want).take(3)} -${(want -- pub).take(3)}")
+    assert(pub.intersect(stale).isEmpty,
+      s"stale version's facts leaked past the ingestTs order: ${stale.take(3)}")
+  }
+
   test("watermarked windowed aggregation over the events table") {
     val tmp = Files.createTempDirectory("stream-ev").toString
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
