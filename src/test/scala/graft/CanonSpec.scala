@@ -120,4 +120,113 @@ class CanonSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("refcount"), bad.getMessage)
   }
+
+  test("randomized ingests: seeded incremental canon == plain-JVM union-find") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val m = graft.canon.IncrementalCanon
+
+    // full-recompute mirror of the production alias path: star edges
+    // per key (min-entity hub), CC, singles self-canonical
+    def fullCanon(pairs: DataFrame): DataFrame = {
+      val ents = pairs.select(col("k"), col("entity")).distinct()
+      val edges = ents
+        .withColumn("src", min(col("entity")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
+        .filter(col("src") =!= col("entity"))
+        .select(col("src"), col("entity").as("dst"))
+      val cc = ConnectedComponents.run(edges)
+      ents.select(col("entity").as("node")).distinct()
+        .join(cc, Seq("node"), "left")
+        .select(col("node").as("entity"),
+          coalesce(col("component"), col("node")).as("canonical"))
+    }
+
+    // independent ground truth with NO Spark in it: union-find where
+    // the pairwise-min root rule makes every root its component's
+    // minimum entity (induction over unions of singleton roots)
+    def expectedCanon(pairs: Set[(String, String)]): Map[String, String] = {
+      val parent = scala.collection.mutable.Map[String, String]()
+      def find(x: String): String = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.groupBy(_._1).foreach { case (_, ps) =>
+        val es = ps.map(_._2).toSeq.sorted
+        es.tail.foreach { e =>
+          val (ra, rb) = (find(es.head), find(e))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      }
+      pairs.map(_._2).map(e => e -> find(e)).toMap
+    }
+
+    def toMapDf(df: DataFrame): Map[String, String] =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    var sawClean = false; var sawRetraction = false
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed)
+      val keys = (0 until 6).map(i => s"k$i")
+      val ents = (0 until 18).map(i => f"e$i%02d")
+      def randPairs(): Set[(String, String)] =
+        (0 until (1 + rnd.nextInt(3))).map { _ =>
+          // entities roam across keys, so components MERGE across keys
+          // through a shared entity — the interesting incremental case
+          (keys(rnd.nextInt(keys.size)), ents(rnd.nextInt(ents.size)))
+        }.toSet
+      val priorDocs = (0 until 12).map(i => s"d$i" -> randPairs()).toMap
+      val newDocs = (12 until 17).map(i => s"d$i" -> randPairs()).toMap
+      val reingested = priorDocs.keys.toSeq.sorted
+        .filter(_ => rnd.nextBoolean()).take(3)
+      // even seeds re-ingest SUPERSETS (append-mostly re-ingest: all
+      // prior evidence survives -> the clean seeded branch); odd seeds
+      // replace wholesale, which almost surely retracts something
+      val reVersions = reingested.map(d => d ->
+        (if (seed % 2 == 0) priorDocs(d) ++ randPairs() else randPairs()))
+        .toMap
+
+      def pairsDf(docs: Map[String, Set[(String, String)]]): DataFrame =
+        docs.toSeq.flatMap { case (d, ps) =>
+          ps.map { case (k, e) => (k, e, d) } }
+          .toDF("k", "entity", "docId")
+
+      val priorPairs = m.pairCounts(pairsDf(priorDocs))
+      val inc = pairsDf(newDocs ++ reVersions)
+      val dec = pairsDf(priorDocs.filter(kv => reingested.contains(kv._1)))
+      val pd = m.mergePairs(priorPairs, inc, dec)
+
+      // ground-truth current state entirely in plain Scala
+      val current = (priorDocs -- reingested) ++ newDocs ++ reVersions
+      val curPairs = current.values.flatten.toSet
+      val priorSet = priorDocs.values.flatten.toSet
+      val gotMerged = pd.merged.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val wantMerged = current.values.flatten.toSeq
+        .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      assert(gotMerged == wantMerged, s"seed $seed: merged refcounts differ")
+      val wantRemoved = (priorSet -- curPairs).size.toLong
+      assert(pd.removedCount == wantRemoved,
+        s"seed $seed: removedCount ${pd.removedCount} != $wantRemoved")
+      assert(pd.added.collect().map(r => (r.getString(0), r.getString(1)))
+        .toSet == curPairs -- priorSet, s"seed $seed: added set differs")
+
+      val want = expectedCanon(curPairs)
+      // the production full path agrees with the plain-JVM truth —
+      // retraction or not (full recompute IS the retraction fallback)
+      assert(toMapDf(fullCanon(m.pairCounts(pairsDf(current)))) == want,
+        s"seed $seed: full Spark canon != union-find truth")
+      if (pd.removedCount == 0) {
+        sawClean = true
+        val seeded = toMapDf(m.seededCanonMap(
+          fullCanon(priorPairs), priorPairs, pd.added))
+        assert(seeded == want,
+          s"seed $seed: seeded incremental canon != union-find truth")
+      } else sawRetraction = true
+    }
+    // the seed set must exercise BOTH branches or the property is weaker
+    // than it claims — fails loudly if a generator change unbalances it
+    assert(sawClean && sawRetraction,
+      s"seed coverage degenerate: clean=$sawClean retraction=$sawRetraction")
+  }
 }
