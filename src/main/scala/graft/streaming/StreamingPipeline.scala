@@ -106,11 +106,43 @@ object StreamingPipeline {
     * [[rosterPath]] doc roster; same idempotent batchId-partition
     * protocol) — [[publishSnapshotDynamic]] then restores EXACT
     * dynamic-canon parity at publish time by re-running the shared
-    * canon+emit stages over the accumulated union. */
+    * canon+emit stages over the accumulated union.
+    *
+    * `ingestTsCol` (explicit OPT-IN — never inferred from a column
+    * name, so a source that happens to carry a similarly-named column
+    * keeps the documented deterministic survivor) names a monotone
+    * ingest-time column the caller added to the source before the
+    * typed conversion (`.as[SourceFileHashed]` keeps extra columns in
+    * the plan), e.g.
+    *   .withColumn("ingestTs", col("_metadata.file_modification_time"))
+    * It must resolve (Spark's case-insensitive resolution applies) to
+    * a timestamp or numeric column — a string epoch would order
+    * lexicographically ("9..." > "10...") and is rejected loudly. */
   def triplesStream(files: Dataset[SourceFileHashed], outPath: String,
       manifestPath: String, checkpoint: String,
-      mentionsPath: Option[String] = None)
+      mentionsPath: Option[String] = None,
+      ingestTsCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // validate the opt-in once, against the STREAM schema, before any
+    // batch runs — a typo'd or mistyped column fails at start(), not
+    // silently mid-stream
+    ingestTsCol.foreach { name =>
+      val f = files.schema.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"ingestTsCol '$name' not found in the source schema " +
+            s"(${files.schema.fieldNames.mkString(", ")}) — add it " +
+            "before the typed conversion, e.g. from " +
+            "_metadata.file_modification_time"))
+      f.dataType match {
+        case _: org.apache.spark.sql.types.TimestampType => ()
+        case _: org.apache.spark.sql.types.TimestampNTZType => ()
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case other => throw new IllegalArgumentException(
+          s"ingestTsCol '$name' must be a timestamp or numeric column " +
+            s"(got ${other.simpleString}) — a string epoch would order " +
+            "lexicographically and pick wrong survivors")
+      }
+    }
     files.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: Dataset[SourceFileHashed], batchId: Long) =>
@@ -122,23 +154,20 @@ object StreamingPipeline {
         // this micro-batch under a single batchId — the (docId,
         // batchId) last-writer-wins at publish time cannot separate
         // them, and the union of both versions' facts is wrong under
-        // any ordering. When the source carries a monotone `ingestTs`
-        // column it orders first — `.as[SourceFileHashed]` keeps extra
-        // columns in the plan, so a file-source caller gets TRUE
-        // last-writer semantics with
-        //   .withColumn("ingestTs", col("_metadata.file_modification_time"))
-        // before the typed conversion (a row missing the ts loses to
-        // any row carrying one: recency evidence beats absence).
-        // Without it a file source gives no within-batch order, so the
-        // survivor falls back to the deterministic max (commit,
-        // sha256) — determinism, not chronology: when the
-        // lexicographically larger (commit, sha256) is the OLDER
+        // any ordering. With `ingestTsCol` the ingest time orders
+        // first (a row missing the ts loses to any row carrying one:
+        // recency evidence beats absence) — last-writer semantics up
+        // to the timestamp's granularity; versions tied on the ts
+        // (same filesystem mtime tick) fall through to the
+        // deterministic rule below. Without it a file source gives no
+        // within-batch order, so the survivor is the deterministic
+        // max (commit, sha256) — determinism, not chronology: when
+        // the lexicographically larger (commit, sha256) is the OLDER
         // version, the batch keeps the stale one; separate versions
         // into distinct batches (maxFilesPerTrigger=1) if the source
         // cannot carry a timestamp. Across batches the batchId
         // ordering still governs.
-        val ord = (if (batch0.columns.contains("ingestTs"))
-            Seq(col("ingestTs").desc_nulls_last) else Nil) ++
+        val ord = ingestTsCol.map(c => col(c).desc_nulls_last).toSeq ++
           Seq(col("commit").desc, col("sha256").desc)
         val vw = org.apache.spark.sql.expressions.Window
           .partitionBy(graft.core.DocId.column)
@@ -189,8 +218,10 @@ object StreamingPipeline {
     * re-ingested across batches contributes only its LATEST batch's
     * triples (last-writer-wins per doc, the same rule as
     * [[publishSnapshotDynamic]]; within one micro-batch
-    * [[triplesStream]] keeps a single deterministically-chosen version
-    * per doc, so batchId granularity suffices) — a bare union would keep stale
+    * [[triplesStream]] keeps a single version per doc — by its
+    * caller's `ingestTsCol` chronology when opted in, else by the
+    * deterministic (commit, sha256) rule — so batchId granularity
+    * suffices) — a bare union would keep stale
     * triples whose facts vanished from the newer content. The one case
     * this path cannot resolve is a re-ingest whose new content yields
     * ZERO triples (no row records the doc was seen again); run
@@ -240,8 +271,9 @@ object StreamingPipeline {
     * linked mentions. A docId re-ingested across batches contributes
     * only its LATEST batch's mentions (last-writer-wins), matching a
     * batch run over the current corpus state; within ONE micro-batch
-    * [[triplesStream]] keeps a single deterministically-chosen version
-    * per doc, so batchId granularity is sufficient here.
+    * [[triplesStream]] keeps a single version per doc (`ingestTsCol`
+    * chronology when opted in, else the deterministic (commit,
+    * sha256) rule), so batchId granularity is sufficient here.
     *
     * Cost is O(accumulated corpus) EVERY publish — alias mining, CC,
     * canon join, and emit all re-run over the full union. Prefer

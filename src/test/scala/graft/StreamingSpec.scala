@@ -105,10 +105,25 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(src).schema.filterNot(_.name == "ingestTs")
         :+ org.apache.spark.sql.types.StructField("ingestTs",
           org.apache.spark.sql.types.LongType))
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .as[graft.core.SourceFileHashed]
+    // the opt-in validates loudly BEFORE any query starts: a typo'd
+    // name and a lexicographically-ordering string epoch both fail
+    val miss = intercept[IllegalArgumentException] {
+      StreamingPipeline.triplesStream(stream, out, man, s"$tmp/ckptX",
+        ingestTsCol = Some("ingest_time"))
+    }
+    assert(miss.getMessage.contains("not found"), miss.getMessage)
+    val str = intercept[IllegalArgumentException] {
+      StreamingPipeline.triplesStream(
+        spark.readStream.schema(schema).parquet(src)
+          .withColumn("tsStr", col("commit"))
+          .as[graft.core.SourceFileHashed],
+        out, man, s"$tmp/ckptY", ingestTsCol = Some("tsStr"))
+    }
+    assert(str.getMessage.contains("timestamp or numeric"), str.getMessage)
     val q = StreamingPipeline.triplesStream(
-      spark.readStream.schema(schema).parquet(src)
-        .as[graft.core.SourceFileHashed],
-      out, man, s"$tmp/ckpt")
+      stream, out, man, s"$tmp/ckpt", ingestTsCol = Some("ingestTs"))
     q.processAllAvailable(); q.stop()
     val table = s"$tmp/graph"
     StreamingPipeline.publishSnapshot(spark, out, table, "s0")
