@@ -62,6 +62,10 @@ object IncrementalCanon {
   final case class PairDelta(
       merged: DataFrame,  // (k, entity, ndocs) — the new state, ndocs > 0
       added: DataFrame,   // (k, entity) — pairs absent before, present now
+      changed: DataFrame, // (k, entity, ndocs) — rows whose count CHANGED
+                          // (new or re-counted): merged == prior overridden
+                          // by changed, which is what lets the caller write
+                          // a delta-sized state instead of `merged`
       removedCount: Long) // pairs whose evidence vanished (>0 => fallback)
 
   /** Merge prior refcounts with increments (per-doc pairs of newly
@@ -97,6 +101,9 @@ object IncrementalCanon {
         .select(col("k"), col("entity"), col("ndocs")),
       added = merged0.filter(col("prior_n") === 0 && col("ndocs") > 0)
         .select(col("k"), col("entity")),
+      changed = merged0
+        .filter(col("ndocs") > 0 && col("ndocs") =!= col("prior_n"))
+        .select(col("k"), col("entity"), col("ndocs")),
       removedCount = if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 

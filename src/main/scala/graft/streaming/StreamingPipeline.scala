@@ -451,8 +451,9 @@ object StreamingPipeline {
   /** One-call table maintenance for a quiescent window, in the one
     * order that composes correctly:
     *  1. optionally FLATTEN the latest snapshot in place
-    *     ([[graft.sources.GraphTables.compactSnapshot]]) — making its
-    *     whole base chain collectible in the same pass (without this,
+    *     ([[graft.sources.GraphTables.compactSnapshot]] for the data,
+    *     [[compactState]] for its canon-state chain) — making both
+    *     base chains collectible in the same pass (without this,
     *     chain-safe GC rightly keeps every base of the kept overlay);
     *  2. expire snapshot data dirs ([[graft.sources.GraphTables
     *     .expireSnapshots]], chain-safe);
@@ -472,6 +473,11 @@ object StreamingPipeline {
     val flattened = flatten &&
       GraphTables.latestSnapshot(spark, tablePath).exists(id =>
         GraphTables.compactSnapshot(spark, tablePath, id))
+    // flatten the latest snapshot's STATE chain alongside its data
+    // chain, so the expiry below can collect the state bases too
+    if (flatten)
+      GraphTables.latestSnapshot(spark, tablePath)
+        .foreach(id => compactState(spark, statePath, id))
     val expired = GraphTables.expireSnapshots(spark, tablePath, keepLast)
     val state = expireCanonState(spark, statePath, tablePath, keepLast)
     val pruned = GraphTables.pruneManifest(spark, tablePath, keepLast)
@@ -510,7 +516,14 @@ object StreamingPipeline {
         .orderBy(col("committedAt").desc, col("snapshotId").desc)
         .select(col("snapshotId"))
         .collect().map(_.getString(0)).toSeq
-    val keepIds = committed.take(keep).toSet
+    // chain-safe: a kept snapshot's state may be a delta CHAIN whose
+    // base dirs belong to older snapshots — those must survive too
+    // (the state-side twin of expireSnapshots' base-chain keep)
+    val keepIds = {
+      val direct = committed.take(keep)
+      direct.toSet ++ direct.flatMap(id =>
+        stateChain(spark, statePath, id).getOrElse(Seq.empty))
+    }
     val committedIds = committed.toSet
     val now = System.currentTimeMillis()
     fs.listStatus(stateP).toSeq
@@ -556,9 +569,162 @@ object StreamingPipeline {
         col("nTriples").cast("long").as("nTriples"),
         col("h64").cast("long").as("h64"))
       .write.mode("overwrite").parquet(s"$d/docs")
-    Seq(lastBatchId).toDF("lastBatchId")
-      .write.mode("overwrite").parquet(s"$d/meta")
+    writeMeta(spark, d, lastBatchId, None)
   }
+
+  // ---- CHAINED canon state: O(delta) publish-time state I/O ---------
+  //
+  // writeState above rewrites three tables that all grow with the
+  // CORPUS (canon map ~ vocabulary, pair refcounts ~ vocabulary, per-
+  // doc fingerprints ~ doc count) — with overlay snapshots making the
+  // DATA write O(delta), these state rewrites were the last O(corpus)
+  // I/O term left in an incremental publish. A delta publish now
+  // writes only the CHANGED state rows plus a base pointer in meta,
+  // and readers resolve the chain last-writer-wins. No tombstones can
+  // occur by construction: under the adds-only invariant canon labels
+  // never revert to self (components only merge, minima only
+  // decrease), a touched pair's refcount stays positive (zero forces
+  // the full fallback, which rewrites full state), and docs are never
+  // deleted (a superseded doc is re-emitted, never dropped).
+
+  private def writeMeta(spark: SparkSession, dir: String,
+      lastBatchId: Long, baseState: Option[String]): Unit = {
+    import spark.implicits._
+    Seq((lastBatchId, baseState.orNull))
+      .toDF("lastBatchId", "baseState")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** meta of one state dir: (lastBatchId, baseState). A legacy layout
+    * (bare lastBatchId column, pre-chaining) reads as a FULL state. */
+  private def readMeta(spark: SparkSession,
+      dir: String): (Long, Option[String]) = {
+    val df = spark.read.parquet(s"$dir/meta")
+    val cols = df.columns
+    val r = df.head()
+    val last = r.getLong(cols.indexOf("lastBatchId"))
+    val base =
+      if (!cols.contains("baseState")) None
+      else Option(r.getString(cols.indexOf("baseState")))
+    (last, base)
+  }
+
+  /** Base-first chain of state snapshot ids ending at `snapshotId`.
+    * None when any link is missing or the chain is corrupt (expired
+    * base, crashed write, cycle, over-deep) — the caller then takes
+    * the full publish, which rewrites fresh flat state. */
+  private def stateChain(spark: SparkSession, statePath: String,
+      snapshotId: String, maxWalk: Int = 64): Option[Seq[String]] = {
+    val acc = scala.collection.mutable.ListBuffer.empty[String]
+    var cur = snapshotId
+    while (acc.size < maxWalk) {
+      val d = stateDir(statePath, cur)
+      if (!graft.sources.Fs.exists(spark, s"$d/meta")) return None
+      acc.prepend(cur)
+      readMeta(spark, d)._2 match {
+        case None => return Some(acc.toList)
+        case Some(b) =>
+          if (acc.contains(b)) return None // cycle: corrupt state
+          cur = b
+      }
+    }
+    None
+  }
+
+  /** Last-writer-wins resolution of a chained keyed table: each chain
+    * position holds at most one row per key, later positions override
+    * earlier ones (max over a __pos-led struct — (key, __pos) is
+    * unique, so the pick is deterministic). */
+  private def lwwResolve(dfs: Seq[DataFrame],
+      keys: Seq[String]): DataFrame =
+    if (dfs.size == 1) dfs.head
+    else {
+      val u = dfs.zipWithIndex
+        .map { case (df, i) => df.withColumn("__pos", lit(i)) }
+        .reduce(_.unionByName(_))
+      val payload =
+        u.columns.filterNot(c => keys.contains(c) || c == "__pos").toSeq
+      u.groupBy(keys.map(col): _*)
+        .agg(max(struct((col("__pos") +: payload.map(col)): _*)).as("__m"))
+        .select(keys.map(col) ++
+          payload.map(p => col(s"__m.$p").as(p)): _*)
+    }
+
+  private final case class CanonState(canon: DataFrame, pairs: DataFrame,
+      docs: DataFrame, lastBatchId: Long, depth: Int)
+
+  /** Resolve `snapshotId`'s canon state across its delta chain. The
+    * frames are lazy plans over the chain's slim parquet dirs; `depth`
+    * is the number of dirs (1 = flat). None routes the caller to the
+    * full publish. */
+  private def readState(spark: SparkSession, statePath: String,
+      snapshotId: String): Option[CanonState] =
+    stateChain(spark, statePath, snapshotId).flatMap { chain =>
+      val dirs = chain.map(id => stateDir(statePath, id))
+      def whole(sub: String) = dirs.forall(d =>
+        graft.sources.Fs.exists(spark, s"$d/$sub"))
+      if (!whole("canon") || !whole("pairs") || !whole("docs")) None
+      else Some(CanonState(
+        lwwResolve(dirs.map(d => spark.read.parquet(s"$d/canon")),
+          Seq("entity")),
+        lwwResolve(dirs.map(d => spark.read.parquet(s"$d/pairs")),
+          Seq("k", "entity")),
+        lwwResolve(dirs.map(d => spark.read.parquet(s"$d/docs")),
+          Seq("docId")),
+        readMeta(spark, dirs.last)._1,
+        chain.size))
+    }
+
+  /** Delta state write — the O(delta) twin of [[writeState]]: only the
+    * rows that changed vs `baseSnapshotId`'s state land on disk, plus
+    * the base pointer in meta. Same crash contract as writeState: meta
+    * lands LAST, so a half-written delta is unreadable as a chain tip
+    * and the next publish takes the full fallback. */
+  private def writeStateDelta(spark: SparkSession, statePath: String,
+      snapshotId: String, baseSnapshotId: String, canonDelta: DataFrame,
+      pairsDelta: DataFrame, docsDelta: DataFrame,
+      lastBatchId: Long): Unit = {
+    val d = stateDir(statePath, snapshotId)
+    canonDelta.select(col("entity"), col("canonical"))
+      .write.mode("overwrite").parquet(s"$d/canon")
+    pairsDelta.select(col("k"), col("entity"),
+        col("ndocs").cast("long").as("ndocs"))
+      .write.mode("overwrite").parquet(s"$d/pairs")
+    docsDelta.select(col("docId"),
+        col("batchId").cast("long").as("batchId"),
+        col("nTriples").cast("long").as("nTriples"),
+        col("h64").cast("long").as("h64"))
+      .write.mode("overwrite").parquet(s"$d/docs")
+    writeMeta(spark, d, lastBatchId, Some(baseSnapshotId))
+  }
+
+  /** Flatten a snapshot's state chain in place: rewrite the three
+    * tables fully resolved (table swaps first, meta pointer-flip
+    * LAST). Crash-safe: a fully-resolved table read as a chain tip
+    * overrides everything beneath it, so any completed swap keeps the
+    * resolution exact; a crash INSIDE a swap's rename window leaves
+    * that sub-table missing, which [[readState]] detects and routes
+    * to the full publish. Returns false when the state is already
+    * flat, legacy, or unreadable. */
+  def compactState(spark: SparkSession, statePath: String,
+      snapshotId: String): Boolean =
+    readState(spark, statePath, snapshotId) match {
+      case Some(st) if st.depth > 1 =>
+        val d = stateDir(statePath, snapshotId)
+        def swap(sub: String, df: DataFrame): Unit = {
+          val tmp = s"$d/${sub}__compact"
+          df.write.mode("overwrite").parquet(tmp)
+          graft.sources.Fs.swapInto(spark, tmp, s"$d/$sub")
+        }
+        // materialize BEFORE swapping: the lazy plans read the very
+        // dirs being replaced
+        swap("canon", st.canon.localCheckpoint())
+        swap("pairs", st.pairs.localCheckpoint())
+        swap("docs", st.docs.localCheckpoint())
+        writeMeta(spark, d, st.lastBatchId, None)
+        true
+      case _ => false
+    }
 
   /** Per-doc content fingerprints of a written triple set — the same
     * per-row hash [[graft.sources.ContentHash.xorLong]] xor-combines
@@ -666,6 +832,16 @@ object StreamingPipeline {
     * deltas. Readers resolve chains transparently; GC keeps base
     * chains of kept snapshots alive.
     *
+    * The publish STATE rides the same pattern: canon map, pair
+    * refcounts, and per-doc fingerprints all grow with the corpus, so
+    * rewriting them per publish ([[writeState]]) was the last
+    * O(corpus) I/O term. An overlay publish writes only the CHANGED
+    * state rows with a base pointer ([[writeStateDelta]]), readers
+    * resolve last-writer-wins ([[readState]] — sound without
+    * tombstones because adds-only canon labels never revert, touched
+    * refcounts stay positive, and docs are never deleted), and the
+    * same `maxChain` gate materializes state and data together.
+    *
     * Falls back to the full recompute — same output, corpus-sized
     * cost — when (a) no prior committed snapshot or no state for it
     * exists, (b) the prior state predates the per-doc-fingerprint
@@ -686,26 +862,34 @@ object StreamingPipeline {
       if (Fs.exists(spark, s"$tablePath/manifest"))
         GraphTables.latestSnapshot(spark, tablePath)
       else None
-    val priorState = prior.map(id => stateDir(statePath, id))
-      .filter(d => Fs.exists(spark, s"$d/meta"))
+    val priorState = prior.flatMap(id => readState(spark, statePath, id))
     if (prior.isEmpty || priorState.isEmpty)
       return fullDynamicPublish(spark, mentionsPath, tablePath, snapshotId,
         statePath,
         if (prior.isEmpty) "first publish — no prior snapshot"
-        else s"no canon state for prior snapshot ${prior.get}")
-    val st = priorState.get
-    val lastB = spark.read.parquet(s"$st/meta").head().getLong(0)
-    val priorCanon = spark.read.parquet(s"$st/canon")
-    val priorPairs = spark.read.parquet(s"$st/pairs")
-    val priorDocs = spark.read.parquet(s"$st/docs")
+        else s"no complete canon state chain for prior " +
+          s"snapshot ${prior.get}")
+    val pst = priorState.get
+    val lastB = pst.lastBatchId
+    // a resolved chain is a union+group plan re-executed per action —
+    // pin the frames the branches below read more than once; a flat
+    // (depth-1) state is the raw parquet read and needs no pinning
+    def pin(df: DataFrame): DataFrame =
+      if (pst.depth > 1) df.localCheckpoint() else df
+    val priorCanon = pin(pst.canon)
+    val priorPairs = pin(pst.pairs)
+    val priorDocs = pin(pst.docs)
     if (!priorDocs.columns.contains("h64"))
       return fullDynamicPublish(spark, mentionsPath, tablePath, snapshotId,
         statePath, "prior state lacks per-doc content fingerprints " +
           "(pre-overlay layout) — full republish refreshes it")
     // depth gate decided UP FRONT: at maxChain the publish materializes
     // the resolved content (corpus write, amortized) instead of
-    // growing the chain — this includes the empty-delta copy-forward
-    val priorDepth = GraphTables.chainDepth(spark, tablePath, prior.get)
+    // growing the chain — this includes the empty-delta copy-forward.
+    // The STATE chain rides the same gate (its dir count = edges + 1),
+    // so both flatten together even if one was compacted externally.
+    val priorDepth = math.max(
+      GraphTables.chainDepth(spark, tablePath, prior.get), pst.depth - 1)
     val all = spark.read.parquet(mentionsPath)
     // the DELTA: batches after the prior publish's floor — partition-
     // pruned reads on both the mention accumulation and the roster
@@ -730,18 +914,25 @@ object StreamingPipeline {
       // POINTER overlay (zero rows written) below the depth gate, a
       // materializing rewrite at it
       val (n, h) =
-        if (priorDepth + 1 <= maxChain)
-          GraphTables.writeDelta(spark, tablePath, snapshotId, prior.get,
-            spark.emptyDataset[graft.core.Triple].toDF(),
+        if (priorDepth + 1 <= maxChain) {
+          // pure pointer forward in DATA and in STATE — an idle stream
+          // publishing on a schedule costs O(1), not O(corpus state)
+          val r = GraphTables.writeDelta(spark, tablePath, snapshotId,
+            prior.get, spark.emptyDataset[graft.core.Triple].toDF(),
             priorDocs.select(col("docId")).limit(0), 0L, 0L)
-        else {
+          writeStateDelta(spark, statePath, snapshotId, prior.get,
+            priorCanon.limit(0), priorPairs.limit(0),
+            priorDocs.limit(0), lastB)
+          r
+        } else {
           val kept = GraphTables.readSnapshot(spark, tablePath, prior.get)
             .select(col("subj"), col("pred"), col("obj"), col("docId"),
               col("score"))
-          GraphTables.write(kept, tablePath, snapshotId)
+          val r = GraphTables.write(kept, tablePath, snapshotId)
+          writeState(spark, statePath, snapshotId, priorCanon, priorPairs,
+            priorDocs, lastB)
+          r
         }
-      writeState(spark, statePath, snapshotId, priorCanon, priorPairs,
-        priorDocs, lastB)
       return DynPublish(n, h, incremental = true, "empty delta")
     }
     val deltaLinked = deltaM
@@ -829,8 +1020,9 @@ object StreamingPipeline {
         .agg(sum(col("nTriples")), expr("bit_xor(h64)")).head()
       val removedRows = if (remRow.isNullAt(0)) 0L else remRow.getLong(0)
       val removedHash = if (remRow.isNullAt(1)) 0L else remRow.getLong(1)
+      val growChain = priorDepth + 1 <= maxChain
       val (n, h, mode) =
-        if (priorDepth + 1 <= maxChain)
+        if (growChain)
           GraphTables.writeDelta(spark, tablePath, snapshotId, prior.get,
             newTriples, reDocs, removedRows, removedHash) match {
             case (n0, h0) => (n0, h0, "overlay")
@@ -855,12 +1047,20 @@ object StreamingPipeline {
         .join(affected, Seq("docId"), "left_semi")
         .select(col("docId"), col("batchId"))
         .unionByName(deltaLatest)
-      val docsState = priorDocs.join(reDocs, Seq("docId"), "left_anti")
-        .select(col("docId"), col("batchId"), col("nTriples"), col("h64"))
-        .unionByName(docsWithStats(touchedBatch, perDocStats(
-          GraphTables.readOwnData(spark, tablePath, snapshotId))))
-      writeState(spark, statePath, snapshotId, newCanon, pd.merged,
-        docsState, newLastB)
+      val reStats = docsWithStats(touchedBatch, perDocStats(
+        GraphTables.readOwnData(spark, tablePath, snapshotId)))
+      if (growChain)
+        // O(delta) state: only the relabeled entities' canon rows, the
+        // touched pair refcounts, and the re-emitted docs' fingerprints
+        writeStateDelta(spark, statePath, snapshotId, prior.get,
+          newCanon.join(changed, Seq("entity"), "left_semi"),
+          pd.changed, reStats, newLastB)
+      else
+        writeState(spark, statePath, snapshotId, newCanon, pd.merged,
+          priorDocs.join(reDocs, Seq("docId"), "left_anti")
+            .select(col("docId"), col("batchId"), col("nTriples"),
+              col("h64"))
+            .unionByName(reStats), newLastB)
       DynPublish(n, h, incremental = true,
         s"incremental (adds-only alias delta, $mode)")
     } finally { deltaLinked.unpersist(); () }

@@ -456,6 +456,28 @@ class StreamingSpec extends SparkSpec {
       assert(got == want, s"derived manifest of $id drifted")
     }
 
+    // ---- chained STATE I/O: the incremental publishes above wrote
+    // state DELTAS (changed rows + a base pointer), not corpus-sized
+    // rewrites of canon map / pair refcounts / per-doc fingerprints
+    def stRows(id: String, sub: String) =
+      spark.read.parquet(s"$state/snap=$id/$sub").count()
+    def baseSt(id: String) = {
+      val df = spark.read.parquet(s"$state/snap=$id/meta")
+      Option(df.head().getString(df.columns.indexOf("baseState")))
+    }
+    assert(baseSt("inc-3").isEmpty) // retraction fallback → flat state
+    assert(baseSt("inc-4").contains("inc-3") &&
+      baseSt("inc-5").contains("inc-4") &&
+      baseSt("inc-7").contains("inc-6"))
+    // the empty-delta snapshot's state is a pure pointer (zero rows)
+    assert(stRows("inc-5", "canon") == 0 && stRows("inc-5", "pairs") == 0 &&
+      stRows("inc-5", "docs") == 0)
+    // the adds-only one wrote strictly less than the corpus state
+    assert(stRows("inc-7", "docs") > 0 &&
+      stRows("inc-7", "docs") < stRows("inc-3", "docs") / 2,
+      s"state docs delta ${stRows("inc-7", "docs")} of " +
+        s"${stRows("inc-3", "docs")} — not a delta")
+
     // phase 8: the depth gate MATERIALIZES — same content, full dir
     val e = doc("E.scala", "c0",
       "def runFinal(a: Row): Txn = {", "val valveGammaQq = 4")
@@ -465,6 +487,8 @@ class StreamingSpec extends SparkSpec {
       spark, ments, table, "inc-8", state, maxChain = 1)
     assert(p8.incremental && p8.note.contains("materialized"), p8.note)
     assert(GraphTables.baseOf(spark, table, "inc-8").isEmpty)
+    // the gate flattens the STATE chain together with the data chain
+    assert(baseSt("inc-8").isEmpty)
     val files6 = files5.union(Seq(e).toDS())
     assert(published() == tset(Pipeline.dynamicStagesFor(files6).triples))
 
@@ -516,6 +540,18 @@ class StreamingSpec extends SparkSpec {
     assert(published().exists(r =>
       r.contains("tailOmegaRr") && r.contains("increpo/G.scala")),
       "fallback path must still re-emit the relabeled out-of-delta doc")
+    // state GC is chain-safe: keepLast=1 keeps inc-11b AND its delta-
+    // chain bases (inc-11a, inc-9, inc-8) — nothing here is expirable
+    assert(StreamingPipeline.expireCanonState(
+      spark, state, table, keepLast = 1).isEmpty,
+      "state GC must keep the live delta chain's bases")
+    // in-place state compaction: same semantics, flat layout — the
+    // retraction detection in phase 12 below reads the COMPACTED
+    // refcounts, so a corrupt compaction could not stay green
+    assert(StreamingPipeline.compactState(spark, state, "inc-11b"))
+    assert(baseSt("inc-11b").isEmpty)
+    assert(!StreamingPipeline.compactState(spark, state, "inc-11b"),
+      "an already-flat state must not re-compact")
     // a retraction-triggered FULL publish rebuilds the index + marker
     val g2 = doc("G.scala", "c1",
       "def runExtraA(a: Row): Txn = {", "z = unrelated_call(x)")
