@@ -355,14 +355,37 @@ object StreamingPipeline {
     * after (StreamingSpec). Runs through a tmp dir + [[graft.sources
     * .Fs.swapInto]]; NOT concurrency-safe with a live stream writing
     * new batches — run at a quiescent point (between triggers, after
-    * a backfill), like any table-maintenance job. */
-  def compactAccumulation(spark: SparkSession, mentionsPath: String): Unit = {
+    * a backfill), like any table-maintenance job.
+    *
+    * `keepTouches`: extra (docId, batchId) versions to PRESERVE beyond
+    * each doc's latest — pass [[publishedStateTouches]] whenever the
+    * table is published via [[publishSnapshotDynamicIncremental]] and
+    * the accumulation may hold re-ingests NEWER than the last publish.
+    * The incremental publish decrements pair refcounts against the
+    * superseded versions' rows — the versions the last publish
+    * RECORDED, not the latest ones — and a bare latest-only fold
+    * deletes exactly those rows (mentions and roster touch alike).
+    * The publish detects the loss and falls back to a full
+    * recanonicalization (never a wrong answer — see the evidence
+    * check in [[publishSnapshotDynamicIncremental]]), but the
+    * fallback costs the O(corpus) publish this path exists to avoid:
+    * keep the published versions and the next publish stays
+    * incremental. */
+  def compactAccumulation(spark: SparkSession, mentionsPath: String,
+      keepTouches: Option[DataFrame] = None): Unit = {
     import graft.sources.Fs
     if (!Fs.hasPartitions(spark, mentionsPath, "batchId=")) return
     val all = spark.read.parquet(mentionsPath)
     // materialize: read by both rewrites, and it must be computed
-    // before the swap replaces the dir it reads
-    val latest = latestTouches(spark, mentionsPath, all).localCheckpoint()
+    // before the swap replaces the dir it reads. Cast batchId to long
+    // on BOTH branches: the partition column reads back as int when
+    // every value fits, while state-derived keepTouches carry longs.
+    val latest0 = latestTouches(spark, mentionsPath, all)
+      .select(col("docId"), col("batchId").cast("long").as("batchId"))
+    val latest = keepTouches.fold(latest0)(k =>
+        latest0.unionByName(k.select(col("docId"),
+          col("batchId").cast("long").as("batchId"))).distinct())
+      .localCheckpoint()
     val tmpM = s"${mentionsPath}__compact"
     all.join(latest, Seq("docId", "batchId"), "left_semi")
       .write.mode("overwrite").partitionBy("batchId").parquet(tmpM)
@@ -378,6 +401,20 @@ object StreamingPipeline {
     Fs.swapInto(spark, tmpM, mentionsPath)
     if (doRoster) Fs.swapInto(spark, s"${rosterP}__compact", rosterP)
   }
+
+  /** The (docId, batchId) versions the latest COMMITTED snapshot's
+    * publish state recorded — [[compactAccumulation]]'s `keepTouches`
+    * for a table published incrementally. None when no snapshot is
+    * committed or its state chain is unreadable: then the next publish
+    * takes the full path regardless, which needs no superseded-version
+    * rows, so a latest-only fold is already safe. */
+  def publishedStateTouches(spark: SparkSession, tablePath: String,
+      statePath: String): Option[DataFrame] =
+    (if (graft.sources.Fs.exists(spark, s"$tablePath/manifest"))
+       graft.sources.GraphTables.latestSnapshot(spark, tablePath)
+     else None)
+      .flatMap(id => readState(spark, statePath, id))
+      .map(_.docs.select(col("docId"), col("batchId")))
 
   // ------------------------------------------------------------------
   // DELTA-AWARE dynamic publish (incremental canonicalization)
@@ -951,6 +988,41 @@ object StreamingPipeline {
         if (oldBatchIds.isEmpty) deltaLinked.limit(0)
         else all.filter(col("batchId").isin(oldBatchIds: _*))
           .join(superseded, Seq("docId", "batchId"), "left_semi")
+      // decrement EVIDENCE must still exist: a compaction run while
+      // these re-ingests sat unpublished folds the superseded
+      // versions' rows away (mention rows AND roster touch alike —
+      // compactAccumulation keeps them only when passed
+      // publishedStateTouches), and the decrements would then read
+      // silently empty — refcounts stay high and a genuine retraction
+      // would pass as adds-only, publishing a STALE merged canon. A
+      // superseded version with neither a mention row nor a roster
+      // touch left is unverifiable: take the full publish, which
+      // needs no decrements and rewrites fresh state. A version that
+      // legitimately had zero linked mentions always kept its roster
+      // touch (or, pre-roster, could never have entered the prior
+      // state's doc table at all), so this never false-positives.
+      val unevidenced =
+        if (oldBatchIds.isEmpty) 0L
+        else {
+          val rosterOld =
+            if (Fs.hasPartitions(spark, rosterP, "batchId="))
+              spark.read.parquet(rosterP)
+                .select(col("docId"), col("batchId"))
+                .filter(col("batchId").isin(oldBatchIds: _*))
+                .join(superseded, Seq("docId", "batchId"), "left_semi")
+                .select(col("docId"))
+            else superseded.select(col("docId")).limit(0)
+          superseded.join(
+              oldMents.select(col("docId")).unionByName(rosterOld),
+              Seq("docId"), "left_anti")
+            .count()
+        }
+      if (unevidenced > 0)
+        return fullDynamicPublish(spark, mentionsPath, tablePath,
+          snapshotId, statePath,
+          s"$unevidenced superseded doc versions left no rows in the " +
+            "accumulation (compacted without publishedStateTouches?) — " +
+            "decrements unverifiable, full recanonicalization")
       val pd = IncrementalCanon.mergePairs(priorPairs,
         IncrementalCanon.docPairs(deltaLinked),
         IncrementalCanon.docPairs(oldMents))

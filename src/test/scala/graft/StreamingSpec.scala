@@ -565,6 +565,97 @@ class StreamingSpec extends SparkSpec {
     assert(published() == tset(Pipeline.dynamicStagesFor(files10).triples))
   }
 
+  test("compaction under UNPUBLISHED re-ingests cannot mask a retraction") {
+    import spark.implicits._
+    import graft.sources.GraphTables
+    def tset(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "docId").collect().map(_.toSeq).toSet
+    def doc(path: String, commit: String, lines: String*) = {
+      val c = lines.mkString("\n")
+      graft.core.SourceFileHashed("cmprepo", path, commit, "scala", c,
+        graft.core.CorpusGen.sha256Hex(c))
+    }
+    def scenario(name: String, keepPublished: Boolean): Unit = {
+      val tmp = Files.createTempDirectory(s"stream-compact-$name").toString
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val man = s"$tmp/man"
+      val ments = s"$tmp/ments"; val table = s"$tmp/graph"
+      val state = s"$tmp/state"
+      def pub(id: String) = StreamingPipeline
+        .publishSnapshotDynamicIncremental(spark, ments, table, id, state)
+      def runStream(schema: org.apache.spark.sql.types.StructType): Unit = {
+        val q = StreamingPipeline.triplesStream(
+          spark.readStream.option("maxFilesPerTrigger", "2").schema(schema)
+            .parquet(src).as[graft.core.SourceFileHashed],
+          out, man, s"$tmp/ckpt", mentionsPath = Some(ments))
+        q.processAllAvailable(); q.stop()
+      }
+      // A carries the snake form, B its camel twin — one merged
+      // component whose ONLY snake evidence is A
+      val a0 = doc("A.scala", "c0",
+        "def runA(a: Row): Txn = {", "y = valve_gamma_qq(x)")
+      val b0 = doc("B.scala", "c0",
+        "def runB(a: Row): Txn = {", "val valveGammaQq = 1")
+      Extract.corpus(spark, 10).union(Seq(a0, b0).toDS())
+        .write.mode("overwrite").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      runStream(schema)
+      assert(!pub("p1").incremental) // first publish writes the state
+      // re-ingest A WITHOUT its alias pair — retraction evidence that
+      // sits UNPUBLISHED in the accumulation...
+      val a1 = doc("A.scala", "c1",
+        "def runA(a: Row): Txn = {", "z = other_call(x)")
+      Seq(a1).toDS().write.mode("append").parquet(src)
+      runStream(schema)
+      // ...when compaction folds the superseded versions
+      val keep = if (keepPublished)
+        StreamingPipeline.publishedStateTouches(spark, table, state)
+      else None
+      if (keepPublished) assert(keep.isDefined)
+      StreamingPipeline.compactAccumulation(spark, ments, keep)
+      val p2 = pub("p2")
+      // either way the publish must NOT ride the stale merged canon:
+      // with the published versions kept, the refcounts SEE the
+      // retraction; with a bare latest-only fold, the decrement
+      // evidence is gone and the evidence check must route to the
+      // full publish rather than publish adds-only over it
+      assert(!p2.incremental, s"$name: took incremental — ${p2.note}")
+      if (keepPublished)
+        assert(p2.note.contains("retracted"), s"$name: ${p2.note}")
+      else
+        assert(p2.note.contains("decrements unverifiable"),
+          s"$name: ${p2.note}")
+      val files2 = Extract.corpus(spark, 10).union(Seq(a1, b0).toDS())
+      val want2 = tset(Pipeline.dynamicStagesFor(files2).triples)
+      val got2 = tset(GraphTables.read(spark, table))
+      // exactness vs the batch ground truth IS the stale-merge probe:
+      // under the stale canon, B's camel mention would still ride the
+      // component that remembers A's retracted snake twin, and the
+      // sets would differ
+      assert(got2 == want2,
+        s"$name: +${(got2 -- want2).take(3)} -${(want2 -- got2).take(3)}")
+      if (keepPublished) {
+        // the benefit claim: an adds-only re-ingest compacted WITH the
+        // published touches keeps its decrement evidence and the next
+        // publish stays incremental
+        val b1 = doc("B.scala", "c1",
+          "def runB(a: Row): Txn = {", "val valveGammaQq = 1",
+          "val more_stuff = 2")
+        Seq(b1).toDS().write.mode("append").parquet(src)
+        runStream(schema)
+        StreamingPipeline.compactAccumulation(spark, ments,
+          StreamingPipeline.publishedStateTouches(spark, table, state))
+        val p3 = pub("p3")
+        assert(p3.incremental && p3.note.contains("adds-only"),
+          s"$name: ${p3.note}")
+        val files3 = Extract.corpus(spark, 10).union(Seq(a1, b1).toDS())
+        assert(tset(GraphTables.read(spark, table)) ==
+          tset(Pipeline.dynamicStagesFor(files3).triples))
+      }
+    }
+    scenario("bare", keepPublished = false)
+    scenario("kept", keepPublished = true)
+  }
+
   test("dynamic publish of a LEGACY accumulation (no/partial roster) keeps every doc") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("stream-legacy").toString
