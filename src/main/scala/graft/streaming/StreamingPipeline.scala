@@ -649,7 +649,11 @@ object StreamingPipeline {
   /** Base-first chain of state snapshot ids ending at `snapshotId`.
     * None when any link is missing or the chain is corrupt (expired
     * base, crashed write, cycle, over-deep) — the caller then takes
-    * the full publish, which rewrites fresh flat state. */
+    * the full publish, which rewrites fresh flat state. A meta dir
+    * that EXISTS but fails to read (a crash mid-meta-write left a
+    * partial parquet, or an empty one) counts as corrupt too —
+    * throwing here would wedge every later incremental publish on a
+    * state the contract says is simply "unreadable as a chain tip". */
   private def stateChain(spark: SparkSession, statePath: String,
       snapshotId: String, maxWalk: Int = 64): Option[Seq[String]] = {
     val acc = scala.collection.mutable.ListBuffer.empty[String]
@@ -658,9 +662,10 @@ object StreamingPipeline {
       val d = stateDir(statePath, cur)
       if (!graft.sources.Fs.exists(spark, s"$d/meta")) return None
       acc.prepend(cur)
-      readMeta(spark, d)._2 match {
-        case None => return Some(acc.toList)
-        case Some(b) =>
+      scala.util.Try(readMeta(spark, d)).toOption match {
+        case None => return None // unreadable meta: corrupt state
+        case Some((_, None)) => return Some(acc.toList)
+        case Some((_, Some(b))) =>
           if (acc.contains(b)) return None // cycle: corrupt state
           cur = b
       }
@@ -1041,7 +1046,11 @@ object StreamingPipeline {
       // seeded CC from the prior star forest + added-pair edges
       val newCanon = IncrementalCanon
         .seededCanonMap(priorCanon, priorPairs, pd.added).localCheckpoint()
+      // materialize: a full-outer join over two vocabulary-sized maps,
+      // read by the isEmpty probe, the bucket collection, and three
+      // semi-joins — re-executing it per action pays the join 4×
       val changed = IncrementalCanon.changedEntities(newCanon, priorCanon)
+        .localCheckpoint()
       // docs OUTSIDE the delta whose triples the relabeling touches:
       // the entity→doc index pruned to the changed entities' buckets
       // (a ≤64-value driver-side isin — partition pruning needs no

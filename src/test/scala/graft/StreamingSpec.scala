@@ -650,6 +650,24 @@ class StreamingSpec extends SparkSpec {
         val files3 = Extract.corpus(spark, 10).union(Seq(a1, b1).toDS())
         assert(tset(GraphTables.read(spark, table)) ==
           tset(Pipeline.dynamicStagesFor(files3).triples))
+        // a crash mid-meta-write leaves a PRESENT but unreadable meta:
+        // the contract routes the next publish to the full fallback —
+        // it must not throw and wedge the stream's publish schedule
+        val metaDir = new java.io.File(s"$state/snap=p3/meta")
+        metaDir.listFiles().foreach(_.delete())
+        java.nio.file.Files.write(metaDir.toPath.resolve("part-corrupt.parquet"),
+          "not parquet".getBytes)
+        val c1 = doc("C.scala", "c0",
+          "def runC(a: Row): Txn = {", "val unrelated_thing = 9")
+        Seq(c1).toDS().write.mode("append").parquet(src)
+        runStream(schema)
+        val p4 = pub("p4")
+        assert(!p4.incremental &&
+          p4.note.contains("no complete canon state chain"),
+          s"$name: ${p4.note}")
+        val files4 = files3.union(Seq(c1).toDS())
+        assert(tset(GraphTables.read(spark, table)) ==
+          tset(Pipeline.dynamicStagesFor(files4).triples))
       }
     }
     scenario("bare", keepPublished = false)
