@@ -440,7 +440,9 @@ object Bench {
           throw new IllegalArgumentException(
             s"SPARK_GRAFT_SCALE_TRIALS must be a positive integer, got '$v'")
         }
-        math.max(1, n)
+        require(n > 0,
+          s"SPARK_GRAFT_SCALE_TRIALS must be a positive integer, got '$v'")
+        n
       }.getOrElse(math.max(3, trials / 2))
     val (scRows, eff, effMed) = scalingRow(corpusPath, scaleN, scaleTrials)
     // secondary proxy row (round-3 ADVICE): the local[2]->local[8]

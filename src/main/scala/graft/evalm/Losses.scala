@@ -249,6 +249,11 @@ object Losses {
   def twinCells(nFiles: Long, weights: Weights = Weights.default)
       : Seq[(String, Int, Int, Int, Int,
         Long, Long, Long, Long, Long, Long)] = {
+    // DELIBERATELY independent re-derivation of the md5-60bit family
+    // (hex-string parse here vs byte shifting in HashSigs, SQL md5()
+    // in TextOps): the twin is the gold side of a driver-graded hash
+    // compare, so sharing the implementation would let a bug in the
+    // shared code pass unnoticed; drift fails the compare loudly.
     def md5h60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -398,8 +398,13 @@ object StreamingPipeline {
         .write.mode("overwrite").partitionBy("batchId")
         .parquet(s"${rosterP}__compact")
     }
-    Fs.swapInto(spark, tmpM, mentionsPath)
+    // roster FIRST: a crash between the swaps must leave the mention
+    // table OVER-evidenced (stale mentions with a compacted roster are
+    // superseded by latestTouches and keep decrements computable); the
+    // reverse order would leave superseded versions roster-evidenced
+    // but mention-row-less, silently defeating the retraction detector
     if (doRoster) Fs.swapInto(spark, s"${rosterP}__compact", rosterP)
+    Fs.swapInto(spark, tmpM, mentionsPath)
   }
 
   /** The (docId, batchId) versions the latest COMMITTED snapshot's
@@ -507,14 +512,15 @@ object StreamingPipeline {
       statePath: String, keepLast: Int,
       flatten: Boolean = false): Maintenance = {
     import graft.sources.GraphTables
-    val flattened = flatten &&
-      GraphTables.latestSnapshot(spark, tablePath).exists(id =>
-        GraphTables.compactSnapshot(spark, tablePath, id))
+    // resolve the latest snapshot ONCE — two manifest reads could
+    // disagree if a publish raced the quiescent window
+    val latestId =
+      if (flatten) GraphTables.latestSnapshot(spark, tablePath) else None
+    val flattened = latestId.exists(id =>
+      GraphTables.compactSnapshot(spark, tablePath, id))
     // flatten the latest snapshot's STATE chain alongside its data
     // chain, so the expiry below can collect the state bases too
-    if (flatten)
-      GraphTables.latestSnapshot(spark, tablePath)
-        .foreach(id => compactState(spark, statePath, id))
+    latestId.foreach(id => compactState(spark, statePath, id))
     val expired = GraphTables.expireSnapshots(spark, tablePath, keepLast)
     val state = expireCanonState(spark, statePath, tablePath, keepLast)
     val pruned = GraphTables.pruneManifest(spark, tablePath, keepLast)
@@ -801,8 +807,13 @@ object StreamingPipeline {
         Seq.empty[(String, String)].toDF("entity", "docId"))
       val (n, h) = graft.sources.GraphTables.write(
         spark.emptyDataset[graft.core.Triple].toDF(), tablePath, snapshotId)
+      // the canon state must carry the DICTIONARY forest even with no
+      // accumulated mentions: a later incremental publish seeds CC from
+      // the prior state's forest alone, and an empty forest would lose
+      // the static-dictionary merges (divergence vs the full path)
       writeState(spark, statePath, snapshotId,
-        Seq.empty[(String, String)].toDF("entity", "canonical"),
+        graft.canon.ConnectedComponents.canonicalMap(
+          graft.link.Linker.aliasDf(spark)),
         Seq.empty[(String, String, Long)].toDF("k", "entity", "ndocs"),
         Seq.empty[(String, Long, Long, Long)]
           .toDF("docId", "batchId", "nTriples", "h64"), -1L)
