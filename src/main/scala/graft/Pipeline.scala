@@ -93,13 +93,12 @@ object Pipeline {
   val BroadcastCanonMaxRows = 4000000L
 
   /** Dynamic-canon stage chain over an arbitrary file slice: the
-    * canonical map is mined from the corpus itself (AliasMining + CC),
-    * making canonicalization a data-scale stage. The linked mention
-    * table is persisted because it feeds both the alias mining
-    * aggregation and the canon join (at cluster scale this is the
-    * stage boundary you would materialize anyway). The mined map is
-    * materialized once (localCheckpoint) — it is read by the size
-    * gate's count AND the canon join. */
+    * canonical map is mined from the corpus itself (AliasMining + CC
+    * below the [[DriverCanonMaxPairs]] gate, the distributed star
+    * rounds above it), making canonicalization a data-scale stage.
+    * The linked mention table is persisted because it feeds both the
+    * alias mining aggregation and the canon join (at cluster scale
+    * this is the stage boundary you would materialize anyway). */
   /** Caching contract (same as DedupOps): the linked mention table is
     * persisted (it feeds alias mining AND the canon+emit chain) and
     * returned LAZY inside the Stages plans — the CALLER owns cleanup
@@ -113,12 +112,101 @@ object Pipeline {
     import spark.implicits._
     val ments = Extract.mentionsFused(files)
     val linked = Linker.link(ments).toDF().persist()
-    val canonMap = dynamicCanonMap(spark, linked).localCheckpoint()
-    val canon = canonicalize(linked, canonMap,
-      hintBroadcast = canonMap.count() <= BroadcastCanonMaxRows)
+    val (canonMap, canonRows) = dynamicCanonMapGated(spark, linked)
+    val hint = canonRows <= BroadcastCanonMaxRows
+    val canon = canonicalize(linked, canonMap, hintBroadcast = hint)
+    // broadcast canon join => the cached linked table reaches the emit
+    // narrow and doc-contiguous, so the emit's mention shuffle can be
+    // dropped outright; above the gate the join may shuffle by entity
+    // and the grouped emitter is required
     val triples =
-      TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
+      if (hint) TripleEmit.emitFusedLocal(canon.as[TripleEmit.CanonMention]).toDF()
+      else TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF()
     Stages(files, ments, canon, triples)
+  }
+
+  /** Gate for the driver-side dynamic-canon fast path: at most this
+    * many DISTINCT (normKey, entity) pairs are collected. A few
+    * hundred thousand string pairs is a few tens of MB on the driver —
+    * the same budget class as [[ConnectedComponents.DriverSolveMaxEdges]]
+    * (the mined edge set is a subset of the pair set, star-built per
+    * key). Above the gate the distributed mining + star-round path
+    * runs unchanged. */
+  val DriverCanonMaxPairs = 400000
+
+  /** Mined dynamic canon map with a driver-side fast path, returning
+    * (map, rowCount).
+    *
+    * The distributed chain ([[dynamicCanonMap]]) costs ~6 SERIAL tiny
+    * jobs on this stage's critical path (mining distinct + window,
+    * edge checkpoint, CC checksum, CC solve, label join, map
+    * checkpoint + count) — pure stage-barrier latency once the
+    * vocabulary is small, which it is by construction: the pair set is
+    * bounded by the corpus VOCABULARY (heavy-tailed), not the mention
+    * count. Below the gate, ONE distributed job (the vocabulary-sized
+    * distinct) feeds a driver union-find that replays
+    * `canonicalMap(aliasDf, mentionAliasEdges(linked))` exactly:
+    * same star edges, same min-member labels, same membership rule
+    * (dictionary entities + mined multi-entity key groups) — parity
+    * asserted in CanonSpec. Returns the row count for free, saving
+    * the size-gate count() job too. */
+  def dynamicCanonMapGated(spark: SparkSession,
+      linked: DataFrame): (DataFrame, Long) = {
+    import spark.implicits._
+    val pairs = linked.filter(col("entType") === "identifier")
+      .select(graft.canon.AliasMining.normKey(col("surface")).as("k"),
+        col("entity"))
+      .distinct().limit(DriverCanonMaxPairs + 1)
+      .as[(String, String)].collect()
+    if (pairs.length > DriverCanonMaxPairs) {
+      val m = dynamicCanonMap(spark, linked).localCheckpoint()
+      (m, m.count())
+    } else {
+      // ---- driver replay of canonicalMap(aliasDf, mined edges) ----
+      val parent = scala.collection.mutable.HashMap[String, String]()
+      def find(x: String): String = {
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def union(a: String, b: String): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // nodes that appear in SOME edge (dictionary star or mined star):
+      // exactly the node set the distributed CC labels; everything else
+      // joins as a self-canonical single
+      val edgeNodes = scala.collection.mutable.HashSet[String]()
+      def star(ents: Iterable[String]): Unit = {
+        val ds = ents.toVector.distinct
+        if (ds.size > 1) {
+          val src = ds.min
+          ds.foreach { d =>
+            if (d != src) { union(src, d); edgeNodes += src; edgeNodes += d }
+          }
+        }
+      }
+      Vocab.aliasToEntities.valuesIterator.foreach(star)
+      pairs.groupBy(_._1).valuesIterator.foreach(ps => star(ps.map(_._2)))
+      // singles = dictionary entities ∪ mined edge endpoints; label =
+      // min member of the component, self when edge-free
+      val singles = (Vocab.aliasRows.iterator.map(_._2) ++
+        edgeNodes.iterator).toSet
+      val minOf = scala.collection.mutable.HashMap[String, String]()
+      edgeNodes.foreach { m =>
+        val r = find(m)
+        val cur = minOf.getOrElse(r, m)
+        minOf(r) = if (m < cur) m else cur
+      }
+      val rows = singles.toSeq.sorted.map { e =>
+        val canon =
+          if (edgeNodes.contains(e)) minOf(find(e)) else e
+        (e, canon)
+      }
+      (rows.toDF("entity", "canonical"), rows.size.toLong)
+    }
   }
 
   /** Like [[run]] but with the mention-derived dynamic canonical map. */
@@ -145,8 +233,12 @@ object Pipeline {
     val ments = Extract.mentionsFused(files)
     val linked = Linker.link(ments)
     val canon = canonicalize(linked.toDF(), staticCanonMap(spark))
+    // static canon map is always broadcast (genuine dimension) => the
+    // mention stream is narrow and doc-contiguous end to end; the
+    // partition-local emitter removes the pipeline's only
+    // corpus-sized shuffle after the skew-control repartition
     Stages(files, ments, canon,
-      TripleEmit.emitFused(canon.as[TripleEmit.CanonMention]).toDF())
+      TripleEmit.emitFusedLocal(canon.as[TripleEmit.CanonMention]).toDF())
   }
 
   def triplesFor(files: Dataset[SourceFileHashed]): DataFrame =

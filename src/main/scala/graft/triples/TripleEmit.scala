@@ -149,12 +149,75 @@ object TripleEmit {
     // RELATIONAL projection before the shuffle: only EmitRow's columns
     // are decoded and cross the wire (a typed .map here would
     // deserialize the full 10-column row first)
+    slimRows(canonMentions)
+      .groupByKey(_.docId).flatMapGroups { (docId, it) =>
+        emitDoc(docId, it.toArray)
+      }
+  }
+
+  private def slimRows(canonMentions: Dataset[CanonMention])
+      : Dataset[EmitRow] = {
+    import canonMentions.sparkSession.implicits._
     canonMentions.toDF()
       .select(col("docId"), col("sentId"), col("start"), col("end"),
         col("entType"), col("linkScore"), col("nextTok"), col("canonical"))
       .as[EmitRow]
-      .groupByKey(_.docId).flatMapGroups { (docId, it) =>
-      val ms = it.toArray
+  }
+
+  /** SHUFFLE-FREE variant of [[emitFused]] for inputs whose partitions
+    * already contain every mention of each document (and each doc's
+    * rows consecutively): the per-doc pass runs inside `mapPartitions`
+    * over consecutive same-docId runs, so the corpus-sized mention
+    * table never crosses an exchange — the ONLY remaining wide op in
+    * the pipeline is the extract stage's skew-control repartition.
+    *
+    * The contiguity invariant holds STRUCTURALLY on the pipeline
+    * paths that use this: `Extract.mentionsFused` repartitions file
+    * rows by hash(repo, path) (one doc = rows of one (repo, path),
+    * all in one partition) and emits each file's mentions
+    * consecutively from one `flatMap` call; linking and a BROADCAST
+    * canon join are narrow and order-preserving, as is the
+    * InMemoryRelation cache read in the dynamic path. Callers whose
+    * canon join may shuffle (a mined map above the broadcast gate)
+    * or whose mention table comes from an arbitrary layout (streaming
+    * batch parquet, the encoding cache — a doc's rows can straddle a
+    * file split) must keep [[emitFused]]. The `require` turns a
+    * violated invariant into a loud failure instead of silently
+    * duplicated triples; memory is O(one document), same contract as
+    * [[emitFused]]'s per-group pass. */
+  def emitFusedLocal(canonMentions: Dataset[CanonMention]): Dataset[Triple] = {
+    import canonMentions.sparkSession.implicits._
+    slimRows(canonMentions).mapPartitions { it =>
+      val seen = new java.util.HashSet[String]()
+      // NOTE the name: inside the anonymous Iterator[Triple] below a
+      // bare `buffered` would resolve to Iterator's own .buffered
+      val rows = it.buffered
+      new Iterator[Triple] {
+        private var cur: Iterator[Triple] = Iterator.empty
+        private def advance(): Unit = {
+          while (!cur.hasNext && rows.hasNext) {
+            val docId = rows.head.docId
+            require(seen.add(docId),
+              s"emitFusedLocal: docId $docId reappeared after its run " +
+                "ended — input not doc-contiguous; use emitFused")
+            val buf = scala.collection.mutable.ArrayBuffer.empty[EmitRow]
+            while (rows.hasNext && rows.head.docId == docId)
+              buf += rows.next()
+            cur = emitDoc(docId, buf.toArray)
+          }
+        }
+        def hasNext: Boolean = { advance(); cur.hasNext }
+        def next(): Triple = { advance(); cur.next() }
+      }
+    }
+  }
+
+  /** The per-document five-predicate pass shared VERBATIM by
+    * [[emitFused]] (grouped by shuffle) and [[emitFusedLocal]]
+    * (grouped by partition-local runs) — one body, so the two can
+    * never diverge. */
+  private[triples] def emitDoc(docId: String,
+      ms: Array[EmitRow]): Iterator[Triple] = {
       // total sort: (sentId, start, canonical) so the binary-search pick
       // at a shared sentId matches the relational windows' tiebreakers
       val funcs = ms.filter(_.entType == "function")
@@ -217,6 +280,5 @@ object TripleEmit {
         }
       }
       acc.iterator.map { case ((s, p, o), sc) => Triple(s, p, o, docId, sc) }
-    }
   }
 }
