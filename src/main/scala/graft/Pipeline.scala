@@ -67,7 +67,9 @@ object Pipeline {
       relationalEmit: Boolean = false): Stages = {
     val files = Extract.corpus(spark, nFiles)
     if (verifySha) Extract.verifyIntegrity(files)
-    val st = stagesFor(files)
+    // generated corpus: uniform range partitions, unique paths — the
+    // skew-control repartition would be a pure extra shuffle here
+    val st = stagesFor(files, repartitionByDoc = false)
     if (relationalEmit) st.copy(triples = TripleEmit.emit(st.canonMentions))
     else st
   }
@@ -107,10 +109,12 @@ object Pipeline {
     * and unpersisted eagerly — one extra full materialization pass of
     * the triple set per run, paid even by callers that consume the
     * plan exactly once. */
-  def dynamicStagesFor(files: Dataset[SourceFileHashed]): Stages = {
+  def dynamicStagesFor(files: Dataset[SourceFileHashed],
+      repartitionByDoc: Boolean = true): Stages = {
     val spark = files.sparkSession
     import spark.implicits._
-    val ments = Extract.mentionsFused(files)
+    val ments = Extract.mentionsFused(files,
+      repartitionByDoc = repartitionByDoc)
     val linked = Linker.link(ments).toDF().persist()
     val (canonMap, canonRows) = dynamicCanonMapGated(spark, linked)
     val hint = canonRows <= BroadcastCanonMaxRows
@@ -211,7 +215,8 @@ object Pipeline {
 
   /** Like [[run]] but with the mention-derived dynamic canonical map. */
   def runDynamicCanon(spark: SparkSession, nFiles: Long): Stages =
-    dynamicStagesFor(Extract.corpus(spark, nFiles))
+    dynamicStagesFor(Extract.corpus(spark, nFiles),
+      repartitionByDoc = false)
 
   /** Dynamic-canon pipeline over a materialized source table — the
     * BENCHED variant (Bench times this, so the measured number includes
@@ -227,10 +232,12 @@ object Pipeline {
     * ([[graft.incremental.IncrementalPipeline]]) go through here, so
     * "re-extract this slice" can never diverge from the full pipeline
     * — structurally, not by convention. */
-  def stagesFor(files: Dataset[SourceFileHashed]): Stages = {
+  def stagesFor(files: Dataset[SourceFileHashed],
+      repartitionByDoc: Boolean = true): Stages = {
     val spark = files.sparkSession
     import spark.implicits._
-    val ments = Extract.mentionsFused(files)
+    val ments = Extract.mentionsFused(files,
+      repartitionByDoc = repartitionByDoc)
     val linked = Linker.link(ments)
     val canon = canonicalize(linked.toDF(), staticCanonMap(spark))
     // static canon map is always broadcast (genuine dimension) => the

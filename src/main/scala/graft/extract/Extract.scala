@@ -82,15 +82,27 @@ object Extract {
     * no-op here — asserted in tests). */
   def mentionsFused(files: Dataset[SourceFileHashed],
       numPartitions: Option[Int] = None,
-      weights: Weights = Weights.default): Dataset[Mention] = {
+      weights: Weights = Weights.default,
+      repartitionByDoc: Boolean = true): Dataset[Mention] = {
     val spark = files.sparkSession
     import spark.implicits._
     val bw = spark.sparkContext.broadcast(weights)
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
-    files
-      .repartition(parts, xxhash64(col("repo"), col("path")))
-      .as[SourceFileHashed]
+    // repartitionByDoc = false skips the skew-control shuffle for
+    // inputs that are ALREADY uniformly distributed with unique
+    // (repo, path) per row — the in-process generated corpus
+    // (spark.range is uniform, the path embeds the fileId). A real
+    // source table keeps the default: the repartition both breaks a
+    // hot repo across tasks and pins the doc-contiguity invariant
+    // emitFusedLocal relies on when the table could carry duplicate
+    // (repo, path) rows.
+    val part =
+      if (repartitionByDoc)
+        files.repartition(parts, xxhash64(col("repo"), col("path")))
+          .as[SourceFileHashed]
+      else files
+    part
       .mapPartitions { it =>
         val w = bw.value
         it.flatMap { f =>
@@ -112,16 +124,20 @@ object Extract {
     * skew-controlled repartition and per-file fused kernel entry as
     * [[mentionsFused]] — one shuffle, one narrow stage. */
   def sentenceSpans(files: Dataset[SourceFileHashed],
-      numPartitions: Option[Int] = None)
+      numPartitions: Option[Int] = None,
+      repartitionByDoc: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     val bw = spark.sparkContext.broadcast(Weights.default)
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
-    files
-      .repartition(parts, xxhash64(col("repo"), col("path")))
-      .as[SourceFileHashed]
+    val part =
+      if (repartitionByDoc)
+        files.repartition(parts, xxhash64(col("repo"), col("path")))
+          .as[SourceFileHashed]
+      else files // generated corpus: uniform + unique by construction
+    part
       .mapPartitions { it =>
         val w = bw.value
         it.flatMap { f =>
@@ -138,9 +154,12 @@ object Extract {
       .toDF("docId", "sentId", "n", "spans")
   }
 
-  /** Full extract: corpus -> mentions. */
+  /** Full extract: corpus -> mentions. The generated corpus is
+    * uniformly distributed over range partitions with unique paths, so
+    * the skew-control repartition is skipped (guide: remove shuffles
+    * the data's existing distribution already makes unnecessary). */
   def run(spark: SparkSession, nFiles: Long): Dataset[Mention] =
-    mentionsFused(corpus(spark, nFiles))
+    mentionsFused(corpus(spark, nFiles), repartitionByDoc = false)
 }
 
 /** Sequential twin: same arithmetic, no Spark. This is the "reference

@@ -104,7 +104,8 @@ object KgQueries {
     // passes with one paying the kernel twice over the same corpus.
     // PlanSpec pins the single generation (no corpus source node may
     // remain in the final plan).
-    val cells = Extract.sentenceSpans(Extract.corpus(s, n)).localCheckpoint()
+    val cells = Extract.sentenceSpans(Extract.corpus(s, n),
+      repartitionByDoc = false).localCheckpoint()
     val sents = cells.select(col("docId"), col("sentId"), col("n"))
     val positives = cells
       .select(col("docId"), col("sentId"), explode(col("spans")).as("sp"))
@@ -224,7 +225,8 @@ object KgQueries {
     // DECISIONS must not — same gold oracle as kg_mentions.
     "kg_mentions_ema" -> ((s, d) =>
       Extract.mentionsFused(Extract.corpus(s, nFilesFor(d)),
-        weights = graft.kernel.Weights.emaDefault).toDF()
+        weights = graft.kernel.Weights.emaDefault,
+        repartitionByDoc = false).toDF()
         .select(col("docId"), col("sentId"), col("start"), col("end"),
           col("entType"), col("surface"))
         .orderBy(col("docId"), col("sentId"), col("start"), col("end"),

@@ -301,11 +301,12 @@ object StreamingPipeline {
     val linked = all.join(latest, Seq("docId", "batchId"))
       .drop("batchId").persist()
     try {
-      val canonMap = graft.Pipeline.dynamicCanonMap(spark, linked)
-        .localCheckpoint()
+      // driver-gated fast path (see Pipeline.dynamicCanonMapGated):
+      // same rows, one job instead of the serial star-round chain
+      val (canonMap, canonRows) =
+        graft.Pipeline.dynamicCanonMapGated(spark, linked)
       val canon = graft.Pipeline.canonicalize(linked, canonMap,
-        hintBroadcast =
-          canonMap.count() <= graft.Pipeline.BroadcastCanonMaxRows)
+        hintBroadcast = canonRows <= graft.Pipeline.BroadcastCanonMaxRows)
       val triples = graft.triples.TripleEmit
         .emitFused(canon.as[graft.triples.TripleEmit.CanonMention]).toDF()
       graft.sources.GraphTables.write(triples, tablePath, snapshotId)
@@ -824,11 +825,12 @@ object StreamingPipeline {
     val linked = all.join(latest, Seq("docId", "batchId"))
       .drop("batchId").persist()
     try {
-      val canonMap = graft.Pipeline.dynamicCanonMap(spark, linked)
-        .localCheckpoint()
+      // driver-gated fast path (see Pipeline.dynamicCanonMapGated):
+      // same rows, one job instead of the serial star-round chain
+      val (canonMap, canonRows) =
+        graft.Pipeline.dynamicCanonMapGated(spark, linked)
       val canon = graft.Pipeline.canonicalize(linked, canonMap,
-        hintBroadcast =
-          canonMap.count() <= graft.Pipeline.BroadcastCanonMaxRows)
+        hintBroadcast = canonRows <= graft.Pipeline.BroadcastCanonMaxRows)
       val triples = graft.triples.TripleEmit
         .emitFused(canon.as[graft.triples.TripleEmit.CanonMention]).toDF()
       val lastB = latest.agg(max(col("batchId")).cast("long")).head() match {

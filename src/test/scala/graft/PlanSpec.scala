@@ -95,9 +95,18 @@ class PlanSpec extends SparkSpec {
     val linked = graft.link.Linker.link(m)
     val p = plan(linked.toDF())
     assert(p.contains("BroadcastHashJoin"))
-    // the only Exchange allowed is the extract repartition + broadcast
+    // generated-corpus extract now skips the skew-control repartition
+    // (uniform range input, unique paths), so the whole extract+link
+    // chain is shuffle-free; a from-table extract keeps exactly one
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(shuffles == 1, s"expected 1 shuffle (extract repartition), got $shuffles:\n$p")
+    assert(shuffles == 0, s"expected shuffle-free extract+link, got $shuffles:\n$p")
+    val fromTable = graft.link.Linker.link(
+      graft.extract.Extract.mentionsFused(
+        graft.extract.Extract.corpus(spark, 5))) // default: skew control on
+    val pt = plan(fromTable.toDF())
+    val shufflesT = "Exchange hashpartitioning".r.findAllIn(pt).length
+    assert(shufflesT == 1,
+      s"expected 1 shuffle (skew-control repartition), got $shufflesT:\n$pt")
   }
 
   test("embed_pairs global top-n plans as TakeOrdered, not a one-partition window") {
