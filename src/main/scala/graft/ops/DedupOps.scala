@@ -65,7 +65,10 @@ object DedupOps {
   def shingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     graft.functions.SigFunctions.register(docs.sparkSession)
-    docs.select(col(idCol).as("doc"),
+    // widen: the explode multiplies rows ~100x, and a single-split
+    // small table would build the whole posting table in one task
+    // (no-op when the scan is already wide)
+    Parallelism.widen(docs, idCol).select(col(idCol).as("doc"),
       explode(expr(s"ngram_shingles(`$textCol`, $n)")).as("ng"))
   }
 
@@ -101,7 +104,7 @@ object DedupOps {
       threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
     val sh = shingles(docs, idCol, textCol).cache()
     verifyJaccardArrays(jaccardCandidates(dfCut(sh, maxDf)),
-      docs, idCol, textCol, threshold)
+      docs, idCol, textCol, threshold, cacheIntermediates = true)
   }
 
   /** MinHash signature columns mh0..mh15, computed NARROW: all 16
@@ -116,6 +119,9 @@ object DedupOps {
   def minhashSignatures(docs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
     graft.functions.SigFunctions.register(docs.sparkSession)
+    // NOT widened (unlike simhash): the one-pass 16-minhash kernel is
+    // cheap enough that the A/B measured the repartition's extra
+    // stage costing more than the parallelism bought (0.76s -> 0.86s)
     docs
       // cheap pre-filter keeps the expensive expression out of any
       // pushed-down predicate (a filter on the signature column would
@@ -150,23 +156,35 @@ object DedupOps {
     * then a narrow `array_intersect` — |A∩B| / (|A|+|B|-|A∩B|) over
     * distinct shingles, identical arithmetic to the posting-count
     * formulation. */
-  private def verifyJaccardArrays(cands: DataFrame, docs: DataFrame,
+  private def verifyJaccardArrays(cands0: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, cacheIntermediates: Boolean = false): DataFrame = {
     graft.functions.SigFunctions.register(docs.sparkSession)
+    // cacheIntermediates: the candidate id-pair set is read three
+    // times below (two verify joins + the semi-join id union). When
+    // candidate GENERATION is expensive (jaccard's inverted-index
+    // self-join), caching it and the shingle arrays avoids re-running
+    // that join per reference (measured 5.6s -> 3.4s at sf0.1). The
+    // minhash path passes false: its band join is cheap and Spark's
+    // exchange reuse already dedups the signature subtree — a cache
+    // there only hides the ReusedExchange without saving work.
+    val cands = if (cacheIntermediates) cands0.cache() else cands0
     // restrict the doc table to docs that appear in some candidate
     // pair BEFORE running the shingle kernel: the two verify joins
     // below each scan `arr`, and without the semi-join each scan
     // re-runs the per-doc kernel over the ENTIRE table — including
     // the overwhelming majority of docs in no pair at all. The
     // candidate-id side is small (AQE broadcasts it), so the big doc
-    // table is still never shuffled.
+    // table is still never shuffled. `arr` itself is cached: it is
+    // referenced by BOTH verify joins, which would otherwise each
+    // re-run the shingle kernel and the semi-join.
     val ids = cands.select(col("d1").as("doc"))
       .union(cands.select(col("d2").as("doc"))).distinct()
-    val arr = docs
+    val arr0 = docs
       .join(ids, docs(idCol) === ids("doc"), "left_semi")
       .select(col(idCol).as("doc"),
         expr(s"ngram_shingles(`$textCol`, $n)").as("ngs"))
+    val arr = if (cacheIntermediates) arr0.cache() else arr0
     cands
       .join(arr.as("g1"), col("d1") === col("g1.doc"))
       .join(arr.as("g2"), col("d2") === col("g2.doc"))
@@ -209,7 +227,9 @@ object DedupOps {
   def simhashSignatures(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     graft.functions.SigFunctions.register(docs.sparkSession)
-    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    // widen: same single-split concern as minhashSignatures
+    Parallelism.widen(docs, idCol)
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol).as("doc"),
         expr(s"simhash_sig(`$textCol`)").as("simhash"))
   }

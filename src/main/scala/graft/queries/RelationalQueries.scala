@@ -54,14 +54,21 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
-  // W1-family: per-group top-k via window (ref span_att_v2.py:247-274)
+  // W1-family: per-group top-k via window (ref span_att_v2.py:247-274).
+  // The projection is widened by the window key when the scan
+  // under-splits (a small table = one split = one task doing the full
+  // partition sort); the repartition's hash layout then satisfies the
+  // window's clustering requirement, so no second exchange appears —
+  // at real scale widen() is a no-op and the planner's map-side
+  // WindowGroupLimit + tiny shuffle shape is kept.
   private val topkWindow: Q = (s, d) => {
     val li = t(s, d, "lineitem")
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
         col("l_linenumber"))
-    li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-      col("l_extendedprice"))
+    graft.ops.Parallelism.widen(
+      li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice")), "l_suppkey")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .orderBy(col("l_suppkey"), col("rn"))
@@ -83,11 +90,16 @@ object RelationalQueries {
       col("a.grp") === col("b.grp") &&
         col("b.s") <= col("a.s") && col("a.e") <= col("b.e") &&
         (col("b.s") < col("a.s") || col("a.e") < col("b.e")))
-    val w = Window.partitionBy(col("a.id"))
-      .orderBy(col("b.e") - col("b.s"), col("b.s"), col("b.id"))
-    val enc = joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("a.id").as("id"), col("b.id").as("enc_id"))
+    // min-by as an AGGREGATE instead of a row_number window: struct
+    // min-ordering is lexicographic, so min(struct(len, s, id)) picks
+    // exactly the window's rn=1 row (id is unique — total order, no
+    // ties) — but aggregates partial-combine map-side and need no
+    // per-group sort, replacing the window's exchange+sort with one
+    // hash aggregation (guide: aggregate before you shuffle)
+    val enc = joined.groupBy(col("a.id").as("id"))
+      .agg(min(struct((col("b.e") - col("b.s")).as("len"),
+        col("b.s").as("bs"), col("b.id").as("bid"))).as("m"))
+      .select(col("id"), col("m").getField("bid").as("enc_id"))
     spans.select(col("id")).join(enc, Seq("id"), "left")
       .select(col("id"), col("enc_id"))
       .orderBy(col("id"))

@@ -232,11 +232,31 @@ class PlanSpec extends SparkSpec {
     // collapsed projection would inline it into all 16 mh extractors
     assert("minhashsigs|minhash_sigs".r.findAllIn(mh.toLowerCase).length == 1,
       s"minhash kernel must be evaluated once:\n${mh.take(2000)}")
-    val sh = plan(graft.ops.DedupOps.simhashSignatures(docs, "doc_id", "text"))
-    assert(!sh.contains("Exchange") && !sh.contains("Generate"),
-      s"simhash signatures must be one narrow projection:\n${sh.take(2000)}")
+    // simhash widens a SINGLE-SPLIT input (Parallelism.widen) so its
+    // per-token kernel is not serialized on one core; on an input
+    // that is already as wide as the session target the plan stays a
+    // narrow projection — the at-scale shape
+    val wide = docs.repartition(
+      spark.sessionState.conf.numShufflePartitions,
+      org.apache.spark.sql.functions.col("doc_id"))
+    val shDf = graft.ops.DedupOps.simhashSignatures(wide, "doc_id", "text")
+    shDf.collect() // finalize AQE so codegen stage markers are visible
+    // executed AQE plans print Final + Initial sections — count
+    // exchanges in the final section only
+    val sh = plan(shDf).split("== Initial Plan ==").head
+    val shExchanges = "Exchange".r.findAllIn(sh).length
+    assert(shExchanges == 1 && !sh.contains("Generate"), // only the widener
+      s"simhash signatures over a wide input must add no exchange:\n" +
+        s"${sh.take(2000)}")
     assert("simhashsig|simhash_sig".r.findAllIn(sh.toLowerCase).length == 1,
       s"simhash kernel must be evaluated once:\n${sh.take(2000)}")
+    // and on the raw single-split table the conditional widen DOES
+    // repartition (the kernel would otherwise run one-wide)
+    val shNarrowIn =
+      plan(graft.ops.DedupOps.simhashSignatures(docs, "doc_id", "text"))
+    assert(shNarrowIn.contains("Exchange"),
+      s"expected widen to fire on a single-split input:\n" +
+        s"${shNarrowIn.take(2000)}")
     // winnowing emits (doc, fp) pairs — an explode is inherent, but a
     // shuffle is not: fingerprints are per-doc facts
     val wf = plan(graft.ops.TextOps.winnowFingerprints(docs, "doc_id", "text"))
