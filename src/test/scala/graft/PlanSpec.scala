@@ -331,11 +331,27 @@ class PlanSpec extends SparkSpec {
 /** Pipeline plan shape + held-out parity at a larger slice. */
 class PipelinePlanSpec extends SparkSpec {
 
-  test("hot pipeline has exactly 2 shuffles (extract repartition + emit group)") {
+  test("hot pipeline over the generated corpus is shuffle-free end to end") {
+    // generated corpus: uniform range partitions + unique paths skip the
+    // skew-control repartition; the static canon map is broadcast; the
+    // partition-local emitter removes the emit group shuffle. The triples
+    // plan must therefore carry NO hash exchange at all (round-6: was 2 —
+    // extract repartition + emit groupByKey).
     val st = Pipeline.run(spark, 50)
     val p = st.triples.queryExecution.executedPlan.toString
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(shuffles == 2, s"expected 2 shuffles, got $shuffles:\n${p.take(3000)}")
+    assert(shuffles == 0, s"expected shuffle-free triples, got $shuffles:\n${p.take(3000)}")
+  }
+
+  test("from-table hot pipeline keeps exactly 1 shuffle (skew-control repartition)") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("pipetab").toString
+    graft.extract.Extract.corpus(spark, 30).write.mode("overwrite").parquet(tmp)
+    val st = Pipeline.runFromTable(spark, tmp)
+    val p = st.triples.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"expected 1 shuffle (skew-control repartition), got $shuffles:\n${p.take(3000)}")
   }
 
   test("runFromTable prunes the parquet scan to the needed columns") {
