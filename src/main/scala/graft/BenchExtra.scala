@@ -201,6 +201,51 @@ object BenchExtra {
           f"gen+tok+kernel=$tKern%.3f  (tok=${tTok - tGen}%.3f " +
           f"kernel=${tKern - tTok}%.3f)")
 
+      case "cc" =>
+        // A/B the ConnectedComponents paths on chain graphs (the CC
+        // worst case, and exactly kg_cc_chain's shape): distributed
+        // star rounds vs driver union-find, at several edge counts and
+        // shuffle-partition settings — the VERDICT-requested crossover
+        // measurement for DriverSolveMaxEdges.
+        def chain(n: Long) = spark.range(n - 1)
+          .select(org.apache.spark.sql.functions.format_string(
+            "n%07d", org.apache.spark.sql.functions.col("id")).as("src"),
+            org.apache.spark.sql.functions.format_string(
+              "n%07d", org.apache.spark.sql.functions.col("id") + 1).as("dst"))
+        def solveDistributed(n: Long, parts: Int): (Double, Int) = {
+          val before = spark.conf.get("spark.sql.shuffle.partitions")
+          try {
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            sc.setJobDescription(s"cc distributed n=$n parts=$parts")
+            val (r, t) = time {
+              val (labels, it) =
+                graft.canon.ConnectedComponents.runWithStats(chain(n))
+              labels.count(); it
+            }
+            (t, r)
+          } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+        }
+        def solveDriverish(n: Long): Double = {
+          // measure the driver path by calling run() on a chain BELOW
+          // the gate (collect + union-find + label join)
+          sc.setJobDescription(s"cc driver n=$n")
+          time(graft.canon.ConnectedComponents.run(chain(n)).count())._2
+        }
+        // warm
+        graft.canon.ConnectedComponents.run(chain(10000)).count()
+        val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (n <- Seq(100001L, 400001L)) {
+          val t = (1 to 2).map(_ => solveDriverish(n)).min
+          println(f"EXTRA cc driver    n=$n%8d            t=$t%7.2f")
+          rows += s"""{"path":"driver","n":$n,"sec":$t}"""
+        }
+        for (n <- Seq(600001L); p <- Seq(cpus * 2, 8)) {
+          val (t, it) = solveDistributed(n, p)
+          println(f"EXTRA cc star      n=$n%8d parts=$p%3d t=$t%7.2f rounds=$it")
+          rows += s"""{"path":"star","n":$n,"parts":$p,"sec":$t,"rounds":$it}"""
+        }
+        println(s"""EXTRA_JSON {"mode":"cc","rows":[${rows.mkString(",")}]}""")
+
       case other =>
         System.err.println(s"unknown mode $other")
     }

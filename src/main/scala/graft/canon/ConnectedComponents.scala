@@ -67,37 +67,34 @@ object ConnectedComponents {
     * CanonSpec). */
   val DriverSolveMaxEdges = 500000L
 
+  /** Loop shuffle sizing: target edge rows per partition inside the
+    * star rounds. The round-6 A/B on the 600k-edge chain measured the
+    * loop 3.3x faster at 8 partitions than at the session's 64 (same
+    * 21 rounds — the delta is pure tiny-task scheduling overhead,
+    * guide §2.2 "fewer, larger partitions"); the loop therefore derives
+    * its partition count from the MEASURED edge count (scale-adaptive,
+    * never above the session's configured parallelism — at cluster
+    * scale the session value wins unchanged). ~100k short string rows
+    * is a few MB per task: far below memory pressure, far above
+    * scheduling noise. */
+  val LoopEdgesPerPartition = 100000L
+
   private def runWithStatsInner(edges: DataFrame,
       maxIter: Int): (DataFrame, Int) = {
     val spark = edges.sparkSession
-    var e = edges.select(col("src"), col("dst"))
+    import spark.implicits._
+    val eDist = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
 
-    // fixpoint probe = THREE independent aggregates of the edge set:
-    // row count, xor of xxhash64(src,dst), and xor of xxhash64(dst,src)
-    // (reversed column order = an independent hash function — NOT a
-    // sum, which overflows Long under ANSI mode). A single xor could —
-    // astronomically rarely but silently — collide between distinct
-    // edge sets and stop the loop with wrong labels; for the loop to
-    // stop wrongly now, one edge-set change must simultaneously
-    // preserve the count and BOTH independent xors.
-    def checksum(d: DataFrame): (Long, Long, Long) = {
-      val r = d.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)),
-        coalesce(expr("bit_xor(xxhash64(dst, src))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
-
-    var prev = checksum(e)
-    // size gate: the checksum already counted the (deduped, loop-free)
-    // edge set — solve small graphs driver-side in one collect
-    if (prev._1 <= DriverSolveMaxEdges) {
-      import spark.implicits._
-      val es = e.select(col("src"), col("dst")).collect()
-        .map(r => (r.getString(0), r.getString(1)))
+    // size gate, probed with ONE short-circuiting job: collect at most
+    // gate+1 distinct edges. Below the gate this IS the edge set (the
+    // old shape paid a localCheckpoint materialization + a checksum
+    // job + a collect — three passes — before the driver solve);
+    // above it only the probe's partial work is discarded, noise next
+    // to the loop it gates.
+    val probe = eDist.limit(DriverSolveMaxEdges.toInt + 1).collect()
+    if (probe.length <= DriverSolveMaxEdges) {
+      val es = probe.map(r => (r.getString(0), r.getString(1)))
       // union-find with path compression; result (the component
       // PARTITION) is independent of the collected edge order, and the
       // final label = lexicographic min member — the same labeling the
@@ -121,57 +118,110 @@ object ConnectedComponents {
       }
       // min member per component (roots chosen min-ward above, but a
       // late union can re-root: recompute the min explicitly)
-      val members = parent.keys.toSeq
       val minOf = scala.collection.mutable.HashMap[String, String]()
-      members.foreach { m =>
+      parent.keys.foreach { m =>
         val r = find(m)
         val cur = minOf.getOrElse(r, m)
         minOf(r) = if (m < cur) m else cur
       }
-      val comp = members.map(m => (m, minOf(find(m))))
-        .toDF("node", "comp")
-      val labels = nodes.join(comp, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("comp"), col("node")).as("component"))
+      // labels fully on the driver too: the node set (incl. self-loop
+      // -only nodes the edge filter dropped) is the same size class as
+      // the collected edges, so one more small collect replaces the
+      // old distributed distinct + join against a driver-built table.
+      // parallelize (an RDD-backed frame), NOT a LocalRelation: a
+      // LocalRelation embeds every row in the logical plan, which the
+      // caller's planner then carries around.
+      val nodeArr = edges.select(col("src")).union(edges.select(col("dst")))
+        .distinct().collect().map(_.getString(0))
+      val rows = nodeArr.toSeq.map { n =>
+        if (parent.contains(n)) (n, minOf(find(n))) else (n, n)
+      }
+      val labels = spark.sparkContext
+        .parallelize(rows, math.max(1, spark.sparkContext.defaultParallelism))
+        .toDF("node", "component")
       return (labels, 0)
     }
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      // large-star: (v, m) for v in N(u), v > u; m = min(N(u) ∪ {u}).
-      // NO intermediate distincts: min-aggregates are duplicate-
-      // insensitive and the round's single distinct (on the small-star
-      // output, needed for the set-valued fixpoint probe) dedups the
-      // final edge set — round 2 ran THREE distincts per round, i.e.
-      // two extra shuffle barriers of pure latency on the critical
-      // path (the CC loop is the serial section of the dynamic-canon
-      // pipeline, so its per-round barrier count is what Amdahl sees).
-      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val mins = sym.groupBy("src")
-        .agg(least(min(col("dst")), first(col("src"))).as("m"))
-      val large = sym.join(mins, "src")
-        .filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .filter(col("src") =!= col("dst"))
-      // small-star on large->small orientation: (v, m) for v in
-      // N(u) ∪ {u}; m = min(N(u))
-      val or = large.select(
-        greatest(col("src"), col("dst")).as("src"),
-        least(col("src"), col("dst")).as("dst"))
-      val mins2 = or.groupBy("src").agg(min(col("dst")).as("m"))
-      val small = or.join(mins2, "src")
-        .select(col("dst").as("v"), col("m"))
-        .union(mins2.select(col("src").as("v"), col("m")))
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("src"), col("m").as("dst"))
-        .distinct()
-        .localCheckpoint()
-      val cur = checksum(small)
-      converged = cur == prev
-      prev = cur
-      e = small
-      iter += 1
+
+    var e = eDist.localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+
+    // fixpoint probe = THREE independent aggregates of the edge set:
+    // row count, xor of xxhash64(src,dst), and xor of xxhash64(dst,src)
+    // (reversed column order = an independent hash function — NOT a
+    // sum, which overflows Long under ANSI mode). A single xor could —
+    // astronomically rarely but silently — collide between distinct
+    // edge sets and stop the loop with wrong labels; for the loop to
+    // stop wrongly now, one edge-set change must simultaneously
+    // preserve the count and BOTH independent xors.
+    def checksum(d: DataFrame): (Long, Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(dst, src))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
+
+    var prev = checksum(e)
+    // scale-adaptive loop parallelism (see LoopEdgesPerPartition): set
+    // for the duration of the loop, restored before the labels frame
+    // is returned (the caller's action plans under its own session
+    // conf; the loop's own actions — checkpoint materializations and
+    // checksums — plan inside the window)
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    var iter = 0
+    try {
+      val loopParts = math.min(
+        spark.sessionState.conf.numShufflePartitions.toLong,
+        math.max(1L, (prev._1 + LoopEdgesPerPartition - 1) /
+          LoopEdgesPerPartition)).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // large-star: (v, m) for v in N(u), v > u; m = min(N(u) ∪ {u}).
+        // Per-src mins are attached by a WINDOW aggregate over the
+        // symmetrized edges, not a groupBy + self-join: the join shape
+        // shuffled sym TWICE (the aggregate subtree and the probe side
+        // are different subtrees, so ReuseExchange cannot dedup them);
+        // the window is one exchange + sort per star. NO intermediate
+        // distincts: min is duplicate-insensitive and the round's
+        // single distinct (on the small-star output, needed for the
+        // set-valued fixpoint probe) dedups the final edge set. The
+        // round is 3 exchanges total; every exchange a round drops is
+        // serial critical-path latency (the CC loop is the Amdahl
+        // section of the dynamic-canon pipeline). Hub-node skew is
+        // unchanged by the rewrite: the join shape also co-located
+        // every hub edge on one task for the probe side.
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        val symM = sym.withColumn("m",
+          least(min(col("dst")).over(wSrc), col("src")))
+        val large = symM.filter(col("dst") > col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        // small-star on large->small orientation: (v, m) for v in
+        // N(u) ∪ {u}; m = min(N(u)). Both output branches — (dst, m)
+        // per edge and (src, m) per src (duplicated per edge here,
+        // collapsed by the round's distinct) — come out of ONE window
+        // pass via a 2-element explode, so the window subtree is not
+        // evaluated once per branch.
+        val or = large.select(
+          greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        val small = or.withColumn("m", min(col("dst")).over(wSrc))
+          .select(explode(array(
+            struct(col("dst").as("src"), col("m").as("dst")),
+            struct(col("src").as("src"), col("m").as("dst")))).as("x"))
+          .select(col("x.src").as("src"), col("x.dst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .localCheckpoint()
+        val cur = checksum(small)
+        converged = cur == prev
+        prev = cur
+        e = small
+        iter += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
     // at fixpoint e is a star (v -> component min); min() guards the
     // maxIter-capped case where a node still carries two pointers
     val labels = nodes.join(

@@ -94,17 +94,69 @@ object DedupOps {
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
 
-  /** Exact n-gram Jaccard near-dup pairs: inverted-index candidate join
-    * over df-cut postings, then the same array-intersection exact
-    * verification as minhash (identical values to a posting-count
-    * verify — the shingle sets are distinct). The posting table is
-    * cached because dfCut reads it twice (the df aggregate and the
-    * join back). */
+  /** Exact n-gram Jaccard near-dup pairs — the COUNTING formulation.
+    *
+    * The round-5 shape built the candidate id-pair set with an
+    * inverted-index self-join, dropped duplicates, and verified each
+    * pair by joining both sides back to per-doc shingle ARRAYS and
+    * intersecting them — at sf0.1 that is 1.13M candidate pairs
+    * carrying two ~50-element arrays through two joins plus 1.13M
+    * array intersections. But the pair generation itself already
+    * touches every shared cut shingle exactly once, so |A∩B| over the
+    * CUT postings is just `count(*)` per pair — the groupBy both
+    * dedups the pairs (what the old `.distinct()` did) AND computes
+    * the intersection size, with map-side partial aggregation (guide
+    * §2.3 "aggregate before you shuffle"). The full intersection adds
+    * the HOT-shingle overlap back: per-doc arrays of df>maxDf shingles
+    * are small by construction (a doc has few boilerplate shingles),
+    * so the correction is a cheap array intersect on two slim left
+    * joins. |A| and |B| are narrow per-doc kernel sizes. Every integer
+    * (c, n1, n2) is identical to the array formulation's, so the final
+    * division is bit-identical to the oracle's.
+    *
+    * Pair generation happens AFTER the df cut and per shingle GROUP
+    * (sorted array, ascending pairs), so per-group state is bounded by
+    * maxDf and the hot-shingle quadratic blowup remains impossible.
+    * With maxDf = MaxValue (tests only) the groups are unbounded —
+    * the df cut IS the scale guard, same as round 5. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    graft.functions.SigFunctions.register(docs.sparkSession)
+    // cached: read by the df aggregate, the cut join-back, and the
+    // hot-side join-back (caller owns cleanup — see the class doc)
     val sh = shingles(docs, idCol, textCol).cache()
-    verifyJaccardArrays(jaccardCandidates(dfCut(sh, maxDf)),
-      docs, idCol, textCol, threshold, cacheIntermediates = true)
+    val dfs = sh.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    val cutNg = dfs.filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("ng"))
+    val grouped = sh.join(cutNg, "ng")
+      .groupBy(col("ng"))
+      .agg(sort_array(collect_set(col("doc"))).as("ds"))
+    val pairCounts = grouped
+      .select(posexplode(col("ds")).as(Seq("i", "d1")), col("ds"))
+      .select(col("d1"), explode(
+        slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c_cut"))
+    // full distinct-shingle count per doc: one narrow kernel pass
+    val n = docs.select(col(idCol).as("doc"),
+      size(expr(s"ngram_shingles(`$textCol`, 3)")).as("n"))
+    // per-doc HOT shingles (df > maxDf) — empty when nothing is hot
+    val hotNg = dfs.filter(col("df") > maxDf).select(col("ng"))
+    val hotArr = sh.join(hotNg, "ng")
+      .groupBy(col("doc")).agg(collect_set(col("ng")).as("hots"))
+    pairCounts
+      .join(n.as("n1t"), col("d1") === col("n1t.doc"))
+      .join(n.as("n2t"), col("d2") === col("n2t.doc"))
+      .join(hotArr.as("h1"), col("d1") === col("h1.doc"), "left")
+      .join(hotArr.as("h2"), col("d2") === col("h2.doc"), "left")
+      .select(col("d1"), col("d2"),
+        (col("c_cut") + coalesce(
+          size(array_intersect(col("h1.hots"), col("h2.hots")))
+            .cast("long"), lit(0L))).as("c"),
+        col("n1t.n").as("n1"), col("n2t.n").as("n2"))
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") /
+          (col("n1") + col("n2") - col("c")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** MinHash signature columns mh0..mh15, computed NARROW: all 16
@@ -156,19 +208,15 @@ object DedupOps {
     * then a narrow `array_intersect` — |A∩B| / (|A|+|B|-|A∩B|) over
     * distinct shingles, identical arithmetic to the posting-count
     * formulation. */
-  private def verifyJaccardArrays(cands0: DataFrame, docs: DataFrame,
+  private def verifyJaccardArrays(cands: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      n: Int = 3, cacheIntermediates: Boolean = false): DataFrame = {
+      n: Int = 3): DataFrame = {
     graft.functions.SigFunctions.register(docs.sparkSession)
-    // cacheIntermediates: the candidate id-pair set is read three
-    // times below (two verify joins + the semi-join id union). When
-    // candidate GENERATION is expensive (jaccard's inverted-index
-    // self-join), caching it and the shingle arrays avoids re-running
-    // that join per reference (measured 5.6s -> 3.4s at sf0.1). The
-    // minhash path passes false: its band join is cheap and Spark's
-    // exchange reuse already dedups the signature subtree — a cache
-    // there only hides the ReusedExchange without saving work.
-    val cands = if (cacheIntermediates) cands0.cache() else cands0
+    // no caching here: the one remaining caller (minhash) has a cheap
+    // band join whose signature subtree Spark's exchange reuse already
+    // dedups — a cache would only hide the ReusedExchange the plan
+    // test pins. (jaccard, whose candidate generation WAS expensive
+    // enough to cache, now verifies by counting — see jaccardPairs.)
     // restrict the doc table to docs that appear in some candidate
     // pair BEFORE running the shingle kernel: the two verify joins
     // below each scan `arr`, and without the semi-join each scan
@@ -180,11 +228,10 @@ object DedupOps {
     // re-run the shingle kernel and the semi-join.
     val ids = cands.select(col("d1").as("doc"))
       .union(cands.select(col("d2").as("doc"))).distinct()
-    val arr0 = docs
+    val arr = docs
       .join(ids, docs(idCol) === ids("doc"), "left_semi")
       .select(col(idCol).as("doc"),
         expr(s"ngram_shingles(`$textCol`, $n)").as("ngs"))
-    val arr = if (cacheIntermediates) arr0.cache() else arr0
     cands
       .join(arr.as("g1"), col("d1") === col("g1.doc"))
       .join(arr.as("g2"), col("d2") === col("g2.doc"))
@@ -254,7 +301,14 @@ object DedupOps {
     require(maxHamming <= SimhashMaxHamming,
       s"maxHamming $maxHamming needs > $SimhashMaxHamming bands for the " +
         "pigeonhole completeness guarantee")
-    val sigs = simhashSignatures(docs, idCol, textCol)
+    // cached: the band self-join references the signature table on
+    // BOTH sides, and unlike minhash (whose band rows meet in one
+    // shuffled exchange the second side reuses) the simhash join
+    // broadcasts one side — a separate BroadcastExchange subtree that
+    // re-ran the whole per-doc signature kernel (measured 2x kernel
+    // in the round-6 probe plan). One materialization, both sides
+    // read it; caller owns cleanup (see the class doc).
+    val sigs = simhashSignatures(docs, idCol, textCol).cache()
     val bands = sigs.select(col("doc"), col("simhash"),
       explode(array((0 until SimhashBands).map { b =>
         struct(lit(b).as("band"),
