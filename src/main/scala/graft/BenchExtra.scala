@@ -201,6 +201,47 @@ object BenchExtra {
           f"gen+tok+kernel=$tKern%.3f  (tok=${tTok - tGen}%.3f " +
           f"kernel=${tKern - tTok}%.3f)")
 
+      case "cached" =>
+        // isolate the frozen-encoder cache section (Bench 2b) with a
+        // configurable trial count on the ALREADY-materialized corpus
+        // and cache dirs from the last Bench run — the trimmed bench's
+        // 2-trial best-of is hostage to one slow window.
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        val sp = spark
+        import sp.implicits._
+        val corpus = sys.env.getOrElse("SPARK_GRAFT_CORPUS",
+          "/tmp/graft_bench_corpus_320000_f2c65731")
+        val cache = sys.env.getOrElse("SPARK_GRAFT_ENCCACHE",
+          "/tmp/graft_bench_enccache_320000_f2c65731")
+        def slice = sp.read.parquet(corpus)
+          .filter(pmod(xxhash64(col("repo"), col("path")), lit(4)) === 0)
+          .as[graft.core.SourceFileHashed]
+        sc.setJobDescription("warm cold shape")
+        Pipeline.triplesFor(slice).count()
+        sc.setJobDescription("cold slice")
+        val cold = (1 to trials).map { _ =>
+          spark.catalog.clearCache(); System.gc()
+          time(Pipeline.triplesFor(slice).count())._2
+        }
+        sc.setJobDescription("warm from cache")
+        Pipeline.triplesFromCache(spark, cache).count()
+        val warm = (1 to trials).map { _ =>
+          spark.catalog.clearCache(); System.gc()
+          time(Pipeline.triplesFromCache(spark, cache).count())._2
+        }
+        println(f"EXTRA cached cold=${cold.min}%.2f ${cold.mkString(",")}")
+        println(f"EXTRA cached warm=${warm.min}%.2f ${warm.mkString(",")}")
+        // stage split of the warm path: cache scan+score alone, then
+        // +link, then the full chain (canon join + grouped emit)
+        def ments = graft.extract.EncodingCache.mentionsFromCache(sp, cache)
+        sc.setJobDescription("warm: scan+score only")
+        val tScore = bestOf(trials) {
+          spark.catalog.clearCache(); noop(ments.toDF()) }
+        sc.setJobDescription("warm: +link")
+        val tLink2 = bestOf(trials) {
+          spark.catalog.clearCache(); noop(graft.link.Linker.link(ments).toDF()) }
+        println(f"EXTRA cachedStages score=$tScore%.2f link=$tLink2%.2f")
+
       case "cc" =>
         // A/B the ConnectedComponents paths on chain graphs (the CC
         // worst case, and exactly kg_cc_chain's shape): distributed

@@ -157,10 +157,17 @@ object KgQueries {
       col("start").cast("string"), col("end").cast("string"),
       lit(NegSampleSeed.toString))), lit(1000000L))
     lab
-      .withColumn("pos_cnt",
-        sum(when(col("role") === "pos", 1L).otherwise(0L)).over(w))
-      .withColumn("easy_cnt",
-        sum(when(col("role") === "easy_neg", 1L).otherwise(0L)).over(w))
+      // BOTH window sums in one projection: sequential withColumns
+      // leave a Project between the two Window operators, which blocks
+      // the CollapseWindow rule — the round-6 probe plan showed two
+      // WindowExec passes over the ~40x-sentence universe for one
+      // shared (docId, sentId) spec. One select = one Window node.
+      .select(col("docId"), col("sentId"), col("start"), col("end"),
+        col("role"),
+        sum(when(col("role") === "pos", 1L).otherwise(0L)).over(w)
+          .as("pos_cnt"),
+        sum(when(col("role") === "easy_neg", 1L).otherwise(0L)).over(w)
+          .as("easy_cnt"))
       .filter(col("role") =!= "easy_neg" ||
         uPpm * (col("easy_cnt") * lit(1000000L) + lit(1L)) <=
           col("pos_cnt") * lit(1000000000000L))
