@@ -669,10 +669,17 @@ object StreamingPipeline {
       val d = stateDir(statePath, cur)
       if (!graft.sources.Fs.exists(spark, s"$d/meta")) return None
       acc.prepend(cur)
-      scala.util.Try(readMeta(spark, d)).toOption match {
-        case None => return None // unreadable meta: corrupt state
-        case Some((_, None)) => return Some(acc.toList)
-        case Some((_, Some(b))) =>
+      scala.util.Try(readMeta(spark, d)) match {
+        case scala.util.Failure(e) =>
+          // log the CAUSE: a persistent environmental failure (FS/IO,
+          // permissions) must be distinguishable from a genuinely
+          // corrupt chain tip — both degrade to the full-publish path,
+          // but only one should page storage (round-5 ADVICE)
+          System.err.println(s"[publish] canon state meta unreadable " +
+            s"at $d (treating as corrupt chain tip): ${e.getMessage}")
+          return None
+        case scala.util.Success((_, None)) => return Some(acc.toList)
+        case scala.util.Success((_, Some(b))) =>
           if (acc.contains(b)) return None // cycle: corrupt state
           cur = b
       }
@@ -1002,10 +1009,14 @@ object StreamingPipeline {
         .localCheckpoint()
       val oldBatchIds = superseded.select(col("batchId")).distinct()
         .collect().map(_.getLong(0))
+      // localCheckpoint: read twice below (the unevidenced probe and
+      // IncrementalCanon.docPairs) — uncached, each reference re-ran
+      // the pruned batch-partition scan + semi-join (round-5 ADVICE)
       val oldMents =
         if (oldBatchIds.isEmpty) deltaLinked.limit(0)
         else all.filter(col("batchId").isin(oldBatchIds: _*))
           .join(superseded, Seq("docId", "batchId"), "left_semi")
+          .localCheckpoint()
       // decrement EVIDENCE must still exist: a compaction run while
       // these re-ingests sat unpublished folds the superseded
       // versions' rows away (mention rows AND roster touch alike —
