@@ -242,6 +242,46 @@ object BenchExtra {
           spark.catalog.clearCache(); noop(graft.link.Linker.link(ments).toDF()) }
         println(f"EXTRA cachedStages score=$tScore%.2f link=$tLink2%.2f")
 
+      case "minhash" =>
+        // stage split of dedup_minhash: signature kernel alone, band
+        // join to candidate ids, full query — locates the remaining
+        // ~1.0-1.3s (kernel vs serial verify-stage latency)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        import org.apache.spark.sql.functions.col
+        def sigs = graft.ops.DedupOps
+          .minhashSignatures(docs, "doc_id", "text")
+        def bands = graft.ops.DedupOps.lshBands(sigs)
+        noop(sigs) // warm
+        sc.setJobDescription("minhash sigs only")
+        val tSig = bestOf(trials) { spark.catalog.clearCache(); noop(sigs) }
+        sc.setJobDescription("band join cands")
+        val tBand = bestOf(trials) {
+          spark.catalog.clearCache()
+          bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.doc") < col("b.doc"))
+            .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+            .distinct().count()
+        }
+        sc.setJobDescription("full minhash query")
+        val tFull2 = bestOf(trials) {
+          spark.catalog.clearCache()
+          SparkEntry.queries("dedup_minhash")(spark, sfDir).count()
+        }
+        sc.setJobDescription("band join cands, sigs cached")
+        val tBandC = bestOf(trials) {
+          spark.catalog.clearCache()
+          val sc2 = sigs.cache()
+          val b2 = graft.ops.DedupOps.lshBands(sc2)
+          b2.as("a").join(b2.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.doc") < col("b.doc"))
+            .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+            .distinct().count()
+        }
+        println(f"EXTRA minhash sigs=$tSig%.2f bandCands=$tBand%.2f " +
+          f"bandCandsCached=$tBandC%.2f full=$tFull2%.2f")
+
       case "cc" =>
         // A/B the ConnectedComponents paths on chain graphs (the CC
         // worst case, and exactly kg_cc_chain's shape): distributed

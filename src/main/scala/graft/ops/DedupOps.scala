@@ -253,6 +253,16 @@ object DedupOps {
     * shingles, and a band join cannot explode on them. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    // NOT cached (round-6 A/B): isolated, the band-candidate stage
+    // halves with a signature cache (AQE broadcasts one side, whose
+    // subtree re-runs the kernel) — but the FULL query measured
+    // neutral across five quiet windows (cached 1.03-1.16s vs
+    // uncached 0.96-1.33s at sf0.1): the duplicate kernel evaluation
+    // overlaps other stages, while the cache adds a serial
+    // materialization. At cluster scale both sides shuffle and
+    // ReusedExchange dedups the kernel with no cache at all — so the
+    // uncached shape is kept (unlike simhash, whose cache was a clear
+    // measured win).
     val bandRows = lshBands(minhashSignatures(docs, idCol, textCol))
     val cands = bandRows.as("a").join(bandRows.as("b"),
       col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

@@ -286,17 +286,21 @@ class PlanSpec extends SparkSpec {
       s"cosine projection not inside whole-stage codegen:\n${p.take(2000)}")
   }
 
-  test("minhash band self-join computes the signature kernel once (exchange reuse)") {
+  test("minhash band self-join reuses a shuffle stage (exchange reuse)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val df = graft.ops.DedupOps.minhashLshPairs(docs, "doc_id", "text", 0.5)
     df.collect() // finalize AQE on this QueryExecution
     val p = plan(df)
-    // both sides of the band-bucket self-join shuffle the SAME
-    // signature projection — the second side must read the first
-    // side's shuffle files (ReusedExchange / reused query stage), not
-    // re-run the per-doc kernel over the whole table
+    // some identical subtree pair in the plan must share one
+    // materialized stage (ReusedExchange / reused query stage). NOTE
+    // (round-6 finding): at LOCAL size AQE broadcasts the band join's
+    // build side, and that BroadcastExchange subtree re-evaluates the
+    // signature kernel — a cache fixes that stage in isolation but
+    // measured NEUTRAL on the full query (see minhashLshPairs), so
+    // the uncached shape stands; at cluster scale both band sides
+    // shuffle and this reuse covers the kernel too.
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
-      s"no exchange reuse in the band self-join:\n${p.take(3000)}")
+      s"no exchange reuse in the minhash plan:\n${p.take(3000)}")
   }
 
   test("whole-stage codegen covers the relational operators") {
